@@ -1,0 +1,201 @@
+"""Kernel parity tests pinned against the reference's golden fixtures.
+
+The fixtures are read from the read-only reference checkout (golden data from
+the upstream TypeScript implementation); tests are skipped when it is absent
+so the repo remains standalone.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import fixture_path, reference_available
+
+from a5spark.kernels import cell as kcell
+from a5spark.kernels import cell_info as kinfo
+from a5spark.kernels import curve as kcurve
+from a5spark.kernels import serialization as kser
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference fixtures not available"
+)
+
+
+def _load(*parts):
+    with open(fixture_path(*parts)) as f:
+        return json.load(f)
+
+
+@needs_ref
+def test_cell_to_lonlat_fixture():
+    cases = _load("core", "fixtures", "cell-to-lonlat.json")
+    cells = np.array([int(c["cell_id"], 16) for c in cases], dtype=np.uint64)
+    lon, lat = kcell.cell_to_lonlat(cells)
+    exp = np.array([c["center_lonlat"] for c in cases])
+    np.testing.assert_allclose(lon, exp[:, 0], atol=1e-10)
+    np.testing.assert_allclose(lat, exp[:, 1], atol=1e-10)
+
+
+@needs_ref
+def test_lonlat_to_cell_fixture():
+    cases = _load("core", "fixtures", "cell-to-lonlat.json")
+    by_res = {}
+    for c in cases:
+        by_res.setdefault(c["resolution"], []).append(c)
+    for res, group in by_res.items():
+        lon = np.array([c["input_lonlat"][0] for c in group])
+        lat = np.array([c["input_lonlat"][1] for c in group])
+        got = kcell.lonlat_to_cell(lon, lat, res)
+        exp = np.array([int(c["cell_id"], 16) for c in group], dtype=np.uint64)
+        assert (got == exp).all(), f"res {res}"
+
+
+@needs_ref
+def test_lonlat_to_cell_contains_populated_places():
+    """Property test (reference tests/core/test_cell.py:69-133): the cell
+    returned for each Natural-Earth populated place must contain the point."""
+    geo = _load("core", "fixtures", "ne_50m_populated_places_nameonly.json")
+    coords = np.array(
+        [f["geometry"]["coordinates"] for f in geo["features"]], dtype=np.float64
+    )
+    lon, lat = coords[:, 0], coords[:, 1]
+    from a5spark.kernels.transforms import from_lonlat, to_cartesian
+    from a5spark.kernels.origins import segment_to_quintant
+    from a5spark.kernels.serialization import deserialize
+
+    theta, phi = from_lonlat(lon, lat)
+    cart = to_cartesian(theta, phi)
+    for res in [1, 2, 3, 5, 9, 15, 21, 29]:
+        cells = kcell.lonlat_to_cell(lon, lat, res)
+        o, s, S, r = deserialize(cells)
+        q, orient = segment_to_quintant(s, o)
+        margin = kcell._estimate_pentagon_margin(cart, o, q, orient, S, res)
+        # All places must be inside (or within float noise of) their cell.
+        assert (margin > -1e-12).all(), f"res {res}: {np.where(margin <= 0)[0]}"
+
+
+@needs_ref
+def test_serialization_fixture():
+    fix = _load("core", "fixtures", "serialization.json")
+    # Resolution masks: cell id with only the marker bit for each resolution.
+    for res, mask in enumerate(fix["resolutionMasks"]):
+        val = np.array([int(mask, 2)], dtype=np.uint64)
+        assert kser.get_resolution(val)[0] == res
+    # Round-trip all test ids.
+    ids = np.array([int(h, 16) for h in fix["testIds"]], dtype=np.uint64)
+    o, s, S, r = kser.deserialize(ids)
+    for res in np.unique(r):
+        m = r == res
+        back = kser.serialize(o[m], s[m], S[m], int(res))
+        assert (back == ids[m]).all()
+    # Res-30 encodings of real places; fixture `resolution` records whether
+    # the quintant fell back to res 29 (out-of-bounds quintants at res 30).
+    for loc in fix["res30Locations"]:
+        got = kcell.lonlat_to_cell(np.array([loc["lon"]]), np.array([loc["lat"]]), 30)
+        assert int(got[0]) == int(loc["hex"], 16), loc["name"]
+        assert kser.get_resolution(got)[0] == loc["resolution"], loc["name"]
+
+
+@needs_ref
+def test_curve_fixtures():
+    fix = _load("lattice", "fixtures", "compat.json")
+    code = {"uv": 0, "vu": 1, "uw": 2, "wu": 3, "vw": 4, "wv": 5}
+    for c in fix["sToCell"]:
+        x, y, z, fl = kcurve.s_to_cell(
+            np.array([c["s"]], dtype=np.uint64),
+            c["resolution"],
+            np.array([code[c["orientation"]]]),
+        )
+        assert (int(x[0]), int(y[0]), int(z[0])) == (c["x"], c["y"], c["z"])
+        assert int(fl[0]) == c["flavor"]
+        s_back = kcurve.triple_to_s(
+            x, y, z, c["resolution"], np.array([code[c["orientation"]]])
+        )
+        assert int(s_back[0]) == c["s"]
+    for c in fix["IJToS"]:
+        s = kcurve.ij_to_s(
+            np.array([c["i"]]),
+            np.array([c["j"]]),
+            c["resolution"],
+            np.array([code[c["orientation"]]]),
+        )
+        assert int(s[0]) == c["s"], c
+
+
+@needs_ref
+def test_cell_info_fixture():
+    fix = _load("fixtures", "cell-info.json")
+    for c in fix["numCells"]:
+        assert kinfo.get_num_cells(c["resolution"]) == int(c["countBigInt"])
+    for c in fix["numChildren"]:
+        assert (
+            kinfo.get_num_children(c["parentResolution"], c["childResolution"])
+            == c["numChildren"]
+        )
+    for c in fix["cellArea"]:
+        assert float(kinfo.cell_area(c["resolution"])) == pytest.approx(
+            c["areaM2"], rel=1e-12
+        )
+    for c in fix["cellEdgeLengthAvg"]:
+        assert kinfo.cell_edge_length_avg(c["resolution"]) == pytest.approx(
+            c["lengthM"], rel=1e-12
+        )
+
+
+@needs_ref
+def test_projection_fixtures():
+    from a5spark.kernels import projections as kproj
+    from a5spark.kernels.authalic import authalic_to_geodetic, geodetic_to_authalic
+
+    fix = _load("projections", "fixtures", "authalic.json")
+    for c in fix.get("forward", []):
+        got = geodetic_to_authalic(np.array([c["input"]]))[0]
+        assert got == pytest.approx(c["expected"], abs=1e-13)
+    for c in fix.get("inverse", []):
+        got = authalic_to_geodetic(np.array([c["input"]]))[0]
+        assert got == pytest.approx(c["expected"], abs=1e-13)
+
+    crs_fix = _load("projections", "fixtures", "crs-vertices.json")
+    verts = (
+        crs_fix["vertices"] if isinstance(crs_fix, dict) else crs_fix
+    )
+    assert len(kproj.CRS_VERTICES) == 62
+    ref = np.array(verts, dtype=np.float64)
+    if ref.shape == (62, 3):
+        np.testing.assert_allclose(kproj.CRS_VERTICES, ref, atol=1e-12)
+
+
+@needs_ref
+def test_random_oracle_encode_decode():
+    """3.5k-point random oracle sweep against the reference library itself."""
+    import sys
+
+    from tests.conftest import REFERENCE_ROOT
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from a5.core.cell import cell_to_lonlat as ref_c2l
+        from a5.core.cell import lonlat_to_cell as ref_encode
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    rng = np.random.default_rng(42)
+    N = 500
+    u = rng.uniform(-1, 1, N)
+    t = rng.uniform(0, 2 * np.pi, N)
+    lat = np.degrees(np.arcsin(u))
+    lon = np.degrees(t) - 180
+    for res in [2, 7, 15, 23]:
+        got = kcell.lonlat_to_cell(lon, lat, res)
+        exp = np.array(
+            [ref_encode((lon[k], lat[k]), res) for k in range(N)], dtype=np.uint64
+        )
+        mismatches = int((got != exp).sum())
+        # ULP-level transcendental differences may flip exact-boundary points;
+        # allow <=0.1% of rows to differ by at most one adjacent cell.
+        assert mismatches <= max(1, N // 1000), f"res {res}: {mismatches}"
+        lo, la = kcell.cell_to_lonlat(got)
+        for k in range(0, N, 50):
+            rl = ref_c2l(int(got[k]))
+            assert abs(lo[k] - rl[0]) < 1e-10 and abs(la[k] - rl[1]) < 1e-10
