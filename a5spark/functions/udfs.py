@@ -1,0 +1,120 @@
+"""Arrow-batched pandas UDFs wrapping the numpy kernels.
+
+Per the engine contract (no per-row Python), every UDF receives whole Arrow
+batches as pandas Series backed by numpy arrays and calls the vectorized
+kernels in a5spark.kernels. Cell IDs cross the Arrow boundary as int64
+(two's-complement view of the u64 bit pattern).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from a5spark.kernels import cell as kcell
+from a5spark.kernels import serialization as kser
+
+
+@F.pandas_udf(LongType())
+def a5_lonlat_to_cell(lon: pd.Series, lat: pd.Series, resolution: pd.Series) -> pd.Series:
+    """Encode lon/lat to an A5 cell id at `resolution` (may vary per row;
+    uniform-resolution batches take one vectorized pass)."""
+    res = resolution.to_numpy()
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    out = np.zeros(len(lon), dtype=np.uint64)
+    for r in np.unique(res):
+        m = res == r
+        out[m] = kcell.lonlat_to_cell(lon_v[m], lat_v[m], int(r))
+    return pd.Series(kser.to_signed(out))
+
+
+@F.pandas_udf(
+    StructType(
+        [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+    )
+)
+def a5_cell_to_lonlat(cell: pd.Series) -> pd.DataFrame:
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    lon, lat = kcell.cell_to_lonlat(cells)
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def a5_cell_to_boundary(cell: pd.Series) -> pd.Series:
+    """GeoJSON-style closed CCW lonlat ring per cell."""
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    out = [None] * len(cells)
+    res = kser.get_resolution(cells)
+    for r in np.unique(res):
+        m = np.where(res == r)[0]
+        if r < 2:
+            for i in m:
+                out[i] = []
+            continue
+        rings = kcell.cell_to_boundary(cells[m])
+        for j, i in enumerate(m):
+            out[i] = rings[j].tolist()
+    return pd.Series(out)
+
+
+@F.pandas_udf(LongType())
+def a5_cell_to_parent(cell: pd.Series, parent_resolution: pd.Series) -> pd.Series:
+    """Full-regime parent (res 0/1/30 included); the Hilbert-range fast path
+    is the native expression a5spark.functions.native.cell_to_parent."""
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    out = kser.cell_to_parent(cells, parent_resolution.to_numpy())
+    return pd.Series(kser.to_signed(out))
+
+
+@F.pandas_udf(IntegerType())
+def a5_get_resolution(cell: pd.Series) -> pd.Series:
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    return pd.Series(kser.get_resolution(cells).astype(np.int32))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def a5_cell_to_children(cell: pd.Series, child_resolution: pd.Series) -> pd.Series:
+    """Children arrays (Hilbert range). For large expansions prefer the
+    native sequence expression (functions.native.cell_children)."""
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    cres = child_resolution.to_numpy()
+    out = [None] * len(cells)
+    for r in np.unique(cres):
+        m = np.where(cres == r)[0]
+        base, count, stride = kser.cell_to_children_s_range(cells[m], int(r))
+        for j, i in enumerate(m):
+            n = int(count[j])
+            arr = base[j] + np.arange(n, dtype=np.uint64) * stride
+            out[i] = kser.to_signed(arr).tolist()
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def a5_cell_area(cell: pd.Series) -> pd.Series:
+    from a5spark.kernels.cell_info import cell_area
+
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    res = kser.get_resolution(cells)
+    return pd.Series(cell_area(res))
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters as a native column expression
+    (authalic-radius sphere). JVM-side — used for kNN distance refinement."""
+    R = 6371007.2
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2 * R) * F.asin(F.sqrt(a))

@@ -1,0 +1,129 @@
+"""Spatial operators: cell assignment, hierarchical aggregation, cover joins.
+
+All operators are declarative DataFrame transformations — Catalyst plans the
+physical execution (broadcast vs shuffle join, partial aggregation, AQE skew
+splitting). The only Python-side work is the Arrow-batched encode UDF.
+
+Scale notes (100 TB design):
+ * assignment is a map-only stage (no shuffle);
+ * density rollups are two-phase hash aggregations keyed by the int64 cell —
+   map-side partial combine keeps shuffle volume at ~#distinct-cells;
+ * cover joins broadcast the (small) cover side; multi-resolution covers use
+   unsigned-range predicates on the shifted key, which Catalyst turns into a
+   broadcast range join; for huge covers fall back to explode-to-resolution
+   equi-join (shuffle-partitioned on cell);
+ * hot-cell skew: salt_column() + two-phase aggregation, plus AQE skew join.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from a5spark.functions import native
+from a5spark.functions.udfs import a5_lonlat_to_cell
+
+
+def assign_cells(
+    df: DataFrame, resolution: int, lon: str = "lon", lat: str = "lat",
+    out: str = "cell",
+) -> DataFrame:
+    """Attach the A5 cell id at `resolution` for each row's lon/lat."""
+    return df.withColumn(
+        out, a5_lonlat_to_cell(F.col(lon), F.col(lat), F.lit(resolution))
+    )
+
+
+def assign_cells_multi(
+    df: DataFrame, resolutions, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """One encode pass per resolution -> columns cell_r{res}. The finest
+    resolution is encoded with the UDF; coarser levels derive JVM-side via
+    native cell_to_parent (bit ops), so the Python cost is paid once."""
+    resolutions = sorted(resolutions)
+    finest = resolutions[-1]
+    df = assign_cells(df, finest, lon, lat, out=f"cell_r{finest}")
+    for r in resolutions[:-1]:
+        if r >= 2:
+            df = df.withColumn(
+                f"cell_r{r}", native.cell_to_parent(F.col(f"cell_r{finest}"), r)
+            )
+        else:
+            from a5spark.functions.udfs import a5_cell_to_parent
+
+            df = df.withColumn(
+                f"cell_r{r}", a5_cell_to_parent(F.col(f"cell_r{finest}"), F.lit(r))
+            )
+    return df
+
+
+def cell_density(df: DataFrame, cell: str = "cell", extra_aggs=None) -> DataFrame:
+    """Per-cell stats: count + optional extra aggregates (two-phase hash agg)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if extra_aggs:
+        aggs.extend(extra_aggs)
+    return df.groupBy(cell).agg(*aggs)
+
+
+def rollup_density(
+    df: DataFrame, from_resolution: int, to_resolution: int, cell: str = "cell"
+) -> DataFrame:
+    """Re-aggregate a fine-resolution density to a coarser level using the
+    native parent expression — input is already one row per fine cell, so the
+    shuffle is tiny (#fine-cells rows)."""
+    parent = native.cell_to_parent(F.col(cell), to_resolution).alias("cell")
+    return df.groupBy(parent).agg(F.sum("n").alias("n"))
+
+
+def top_k_cells(density: DataFrame, k: int, order_col: str = "n") -> DataFrame:
+    """Hottest k cells (TakeOrderedAndProject — no full sort)."""
+    return density.orderBy(F.desc(order_col)).limit(k)
+
+
+def cover_join(
+    points: DataFrame, cover: DataFrame, cell: str = "cell", broadcast: bool = True
+) -> DataFrame:
+    """Equi-join points against a single-resolution cell cover.
+    Covers (polygon fills, caps, disks) are small relative to the point table
+    -> broadcast hash join by default."""
+    c = F.broadcast(cover) if broadcast else cover
+    return points.join(c, cell, "inner")
+
+
+def multires_cover_join(
+    points: DataFrame,
+    cover: DataFrame,
+    cover_cell: str = "cell",
+    cover_res: str = "resolution",
+    point_cell: str = "cell",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Join fine-resolution points against a compacted (mixed-resolution)
+    cover via unsigned descendant-range predicates on the shifted key.
+    The cover carries (cell, resolution); a point matches a cover cell when
+    its id lies in the cover cell's descendant range."""
+    key = native.shifted_key(points[point_cell]).alias("__pk")
+    pts = points.withColumn("__pk", key)
+    cov = cover.withColumn(
+        "__lo", native.cell_range_lo(F.col(cover_cell), F.col(cover_res))
+    ).withColumn(
+        "__hi", native.cell_range_hi(F.col(cover_cell), F.col(cover_res))
+    ).drop(cover_cell)
+    c = F.broadcast(cov) if broadcast else cov
+    joined = pts.join(c, (F.col("__pk") >= F.col("__lo")) & (F.col("__pk") <= F.col("__hi")))
+    return joined.drop("__pk", "__lo", "__hi")
+
+
+def salt_column(df: DataFrame, key: str, buckets: int, out: str = "__salt") -> DataFrame:
+    """Deterministic salt for hot-key two-phase aggregation: groupBy(key, salt)
+    partial-aggregate, then groupBy(key) final."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+
+
+def salted_density(
+    df: DataFrame, cell: str = "cell", buckets: int = 64, row_key: str | None = None
+) -> DataFrame:
+    """Two-phase per-cell count robust to Zipfian hot cells: phase 1 spreads a
+    hot cell over `buckets` shuffle keys, phase 2 combines the tiny partials."""
+    salt_src = F.col(row_key) if row_key else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
+    partial = salted.groupBy(cell, "__salt").agg(F.count(F.lit(1)).alias("pn"))
+    return partial.groupBy(cell).agg(F.sum("pn").alias("n"))

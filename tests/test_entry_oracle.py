@@ -1,0 +1,94 @@
+"""Driver-style correctness gate run locally: every queries() entry executes
+on sf0.001, and oracle-backed entries are compared against DuckDB row-for-row
+(sorted columns, exact values)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("A5_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from a5spark.session import get_spark
+
+    s = get_spark("a5spark-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def test_all_queries_run_and_oracles_match(spark, duck):
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert queries, "queries() is empty"
+    failures = []
+    for name, fn in queries.items():
+        df = fn(spark, SF_DIR)
+        pdf = df.toPandas()
+        assert len(pdf.columns) > 0
+        if name not in oracles:
+            assert len(pdf) >= 0
+            continue
+        want = duck.execute(oracles[name])
+        want_cols = [d[0] for d in want.description]
+        want_rows = want.fetchall()
+        got = _normalize(list(pdf.itertuples(index=False, name=None)), list(pdf.columns))
+        exp = _normalize(want_rows, want_cols)
+        if sorted(pdf.columns) != sorted(want_cols):
+            failures.append(f"{name}: columns {sorted(pdf.columns)} vs {sorted(want_cols)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(f"{name}: row count {len(got)} vs {len(exp)}")
+            continue
+        bad = [i for i, (g, e) in enumerate(zip(got, exp)) if g != e]
+        if bad:
+            i = bad[0]
+            failures.append(f"{name}: {len(bad)} row mismatches, first at {i}: {got[i]} vs {exp[i]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
