@@ -275,6 +275,43 @@ def _cells_to_face_parts(cells):
     return origin_id, segment, S, resolution, quintant, orientation
 
 
+def cell_to_spherical(cells) -> tuple:
+    """Cell centers in the internal spherical frame (cell.py:219-239).
+    Mixed resolutions split internally. Returns (theta, phi)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    N = cells.shape[0]
+    theta = np.zeros(N)
+    phi = np.zeros(N)
+    origin_id, segment, S, resolution, quintant, orientation = _cells_to_face_parts(cells)
+    for res in np.unique(resolution):
+        m = resolution == res
+        if res == -1:
+            continue
+        if res >= FIRST_HILBERT_RESOLUTION:
+            hres = int(res) - FIRST_HILBERT_RESOLUTION + 1
+            x, y, z, flavor = s_to_cell(S[m], hres, orientation[m])
+            center = pentagon_center(
+                np.full(int(m.sum()), hres, dtype=np.int64), quintant[m], x, y, flavor
+            )
+        elif res == FIRST_HILBERT_RESOLUTION - 1:
+            center = quintant_triangle(quintant[m]).mean(axis=1)
+        else:
+            center = np.broadcast_to(FACE_VERTS.mean(axis=0), (int(m.sum()), 2)).copy()
+        th, ph = dodec_inverse(center, origin_id[m])
+        theta[m] = th
+        phi[m] = ph
+    return theta, phi
+
+
+def haversine_internal(theta1, phi1, theta2, phi2):
+    """The reference's modified haversine 'angle' metric (origin.py:163-182)."""
+    dtheta = theta2 - theta1
+    dphi = phi2 - phi1
+    a1 = np.sin(dphi / 2.0)
+    a2 = np.sin(dtheta / 2.0)
+    return a1 * a1 + a2 * a2 * np.sin(phi1) * np.sin(phi2)
+
+
 def cell_to_lonlat(cells) -> tuple:
     """Vectorized cell.py:219-256. Requires uniform-resolution batches for the
     Hilbert path; mixed batches are split internally. World cells -> (0, 0)."""

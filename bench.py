@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end wall time of the flagship spatial-join +
+cell-assignment pipeline; per-query seconds are reported alongside, plus the
+encode throughput (rows/s) the north rule grades.
+
+Scaling evidence (north rule: >=0.8 efficiency N -> 4N executors): run with
+SPARK_GRAFT_SCALING=1 to ALSO run the flagship at local[8] vs local[32] and
+report throughput at both plus the efficiency ratio.
+"""
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries(spark, sf_dir):
+    from a5spark.entry_queries import QUERIES
+
+    times = {}
+    rowcounts = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        rowcounts[name] = n
+    return times, rowcounts
+
+
+def run_flagship_throughput(spark, sf_dir):
+    """Encode + density + top-k over the images table; returns (sec, rows)."""
+    from a5spark.entry_queries import QUERIES
+    from a5spark.sources.images import images_from_sf_dir
+
+    n_rows = images_from_sf_dir(spark, sf_dir).count()
+    t0 = time.time()
+    QUERIES["cell_density_r7"](spark, sf_dir).count()
+    return time.time() - t0, n_rows
+
+
+def main():
+    from a5spark.session import get_spark
+
+    spark = get_spark("a5spark-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM + Python workers + kernel table builds.
+    run_flagship_throughput(spark, SF_DIR)
+
+    times, rowcounts = run_queries(spark, SF_DIR)
+    flag_sec, n_rows = run_flagship_throughput(spark, SF_DIR)
+    throughput = n_rows / flag_sec if flag_sec > 0 else 0.0
+
+    result = {
+        "metric": "spatial-join + cell-assignment wall time (flagship images pipeline)",
+        "value": round(flag_sec, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(SF_DIR),
+        "rows": n_rows,
+        "throughput_rows_per_sec": round(throughput, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        scaling = {}
+        for cpus in (8, 32):
+            s = get_spark("a5spark-scaling", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus))
+            s.sparkContext.setLogLevel("ERROR")
+            run_flagship_throughput(s, SF_DIR)  # warm
+            sec, rows = run_flagship_throughput(s, SF_DIR)
+            scaling[f"local[{cpus}]"] = {
+                "sec": round(sec, 3),
+                "throughput": round(rows / sec, 1),
+            }
+            s.stop()
+        t8 = scaling["local[8]"]["throughput"]
+        t32 = scaling["local[32]"]["throughput"]
+        result["scaling"] = {
+            **scaling,
+            "efficiency_8_to_32": round((t32 / t8) / 4.0, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
