@@ -101,13 +101,22 @@ def _emit(acc, rows, x, y, z, hres, orientation, origin, segment, resolution, ma
     acc[1].append(cells)
 
 
-def cell_neighbors_batch(cells: np.ndarray, edge_only: bool = False):
+def cell_neighbors_batch(
+    cells: np.ndarray,
+    edge_only: bool = False,
+    lattice: bool = False,
+):
     """All neighbors of each cell (global: across quintant/face boundaries).
 
     cells: (N,) uint64, uniform resolution >= 2.
     Returns (row_idx, neighbor_cell): flattened pairs, deduplicated, sorted by
     (row, unsigned cell) — matching the reference's sorted-set semantics
-    (global_neighbors.py:78-124)."""
+    (global_neighbors.py:78-124).
+
+    With lattice=True the within-quintant candidates are the lattice +-1 moves
+    instead of the flavor deltas (lattice_neighbors.py:68-126): edge_only picks
+    the 3 parity-valid moves (flood-fill connectivity, corner skipped),
+    otherwise the 26-cube superset."""
     cells = np.asarray(cells, dtype=np.uint64)
     N = cells.shape[0]
     origin, segment, S, resolution = deserialize(cells)
@@ -124,24 +133,43 @@ def cell_neighbors_batch(cells: np.ndarray, edge_only: bool = False):
 
     acc = ([], [])
 
-    # --- within-quintant: per-flavor deltas ---
-    n_deltas = 5 if edge_only else 7
-    deltas = NEIGHBOR_DELTAS[flavor][:, :n_deltas]  # (N, D, 3)
-    for d in range(n_deltas):
-        _emit(
-            acc,
-            rows_all,
-            x + deltas[:, d, 0],
-            y + deltas[:, d, 1],
-            z + deltas[:, d, 2],
-            hres,
-            orientation,
-            origin,
-            segment,
-            res,
-            max_row,
-            exclude_s=S,
-        )
+    # --- within-quintant candidates ---
+    if lattice:
+        if edge_only:
+            # 3 parity-valid single-axis moves (+1 on parity 0, -1 on parity 1)
+            step = np.where(parity == 0, 1, -1)
+            for axis in range(3):
+                dx = step if axis == 0 else 0
+                dy = step if axis == 1 else 0
+                dz = step if axis == 2 else 0
+                _emit(acc, rows_all, x + dx, y + dy, z + dz, hres, orientation,
+                      origin, segment, res, max_row, exclude_s=S)
+        else:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        if dx == 0 and dy == 0 and dz == 0:
+                            continue
+                        _emit(acc, rows_all, x + dx, y + dy, z + dz, hres,
+                              orientation, origin, segment, res, max_row, exclude_s=S)
+    else:
+        n_deltas = 5 if edge_only else 7
+        deltas = NEIGHBOR_DELTAS[flavor][:, :n_deltas]  # (N, D, 3)
+        for d in range(n_deltas):
+            _emit(
+                acc,
+                rows_all,
+                x + deltas[:, d, 0],
+                y + deltas[:, d, 1],
+                z + deltas[:, d, 2],
+                hres,
+                orientation,
+                origin,
+                segment,
+                res,
+                max_row,
+                exclude_s=S,
+            )
 
     y_odd = (y % 2 != 0).astype(np.int64)
     delta_idx = parity * 2 + y_odd
@@ -198,7 +226,10 @@ def cell_neighbors_batch(cells: np.ndarray, edge_only: bool = False):
             _emit(acc, rows, x[m], y[m], z[m], hres, t_orient, origin[m], t_seg, res, max_row)
 
     # --- base-left corner [-max_row, max_row, 0]: 3 faces meet ---
+    # (skipped for strict lattice connectivity, lattice_boundary.py:159)
     m = (x == -max_row) & (y == max_row) & (z == 0)
+    if lattice and edge_only:
+        m = np.zeros_like(m)
     if m.any():
         rows = rows_all[m]
         prev_q = (quintant[m] - 1 + 5) % 5
