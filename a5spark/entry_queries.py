@@ -266,6 +266,392 @@ def q_multires_rollup(spark, sf_dir):
     return out.orderBy("resolution", "cell")
 
 
+# --- training-data pipeline operators (documents / embeddings tables) -------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup summary: distribution of copy-group sizes on content digest."""
+    from a5spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dedup(docs)
+    return (
+        groups.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("keeper_id").alias("min_keeper"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+def oracle_dedup_exact():
+    return """
+    WITH g AS (
+      SELECT CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS digest,
+             min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+           min(keeper_id) AS min_keeper
+    FROM g GROUP BY n_copies ORDER BY n_copies
+    """
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup candidate pairs (8 hashes, 4-row bands, k=5
+    shingles) over the documents table."""
+    from a5spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, k=5)
+    bands = minhash_bands(sig, band_size=4)
+    return lsh_candidate_pairs(bands).orderBy("id_a", "id_b")
+
+
+def oracle_minhash_lsh():
+    return """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             substring(text, CAST(i AS INT), 5) AS shingle
+      FROM documents,
+           unnest(generate_series(1, greatest(1, length(text) - 4))) AS t(i)
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band_idx,
+             CAST(('0x' || substring(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15)) AS BIGINT) AS band_hash
+      FROM mh GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit simhash per document."""
+    from a5spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=16).orderBy("doc_id")
+
+
+def oracle_simhash():
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+    ), contrib AS (
+      SELECT doc_id, bit,
+             sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS s
+      FROM toks, unnest(generate_series(0, 15)) AS b(bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q_text_profile(spark, sf_dir):
+    """Token counts, sub-token counts and content fingerprint per document."""
+    from a5spark.operators.text import bpe_ish_token_count, fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_subtokens"),
+        fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def oracle_text_profile():
+    return r"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+           CAST(('0x' || substring(md5(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))
+           ), 1, 15)) AS BIGINT) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-based language guess histogram."""
+    from a5spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def oracle_lang_id():
+    def cnt(words):
+        parts = " + ".join(
+            f"len(regexp_extract_all(' ' || lower(text) || ' ', '{w}'))" for w in words
+        )
+        return parts
+
+    from a5spark.operators.text import LANG_MARKERS
+
+    en = cnt(LANG_MARKERS["en"])
+    de = cnt(LANG_MARKERS["de"])
+    fr = cnt(LANG_MARKERS["fr"])
+    es = cnt(LANG_MARKERS["es"])
+    return f"""
+    WITH scored AS (
+      SELECT {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
+      FROM documents
+    ), tagged AS (
+      SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS lang_guess
+      FROM scored
+    )
+    SELECT lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY lang_guess ORDER BY lang_guess
+    """
+
+
+def q_ann_quantized(spark, sf_dir):
+    """Int-quantized brute-force top-5 similarity search: every 10th vector
+    queries the full embeddings table (engine-exact integer dot products)."""
+    from a5spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = quantized_topk(queries, emb, k=5)
+    return out.select("q_id", "rank", "vec_id", "qdot").orderBy("q_id", "rank")
+
+
+def oracle_ann_quantized():
+    return """
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q_vec
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), p AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS p_vec
+      FROM embeddings
+    ), scored AS (
+      SELECT q_id, vec_id,
+             CAST(list_dot_product(q_vec, p_vec) AS BIGINT) AS qdot,
+             row_number() OVER (PARTITION BY q_id ORDER BY list_dot_product(q_vec, p_vec) DESC, vec_id ASC) AS rank
+      FROM q, p
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, vec_id, qdot
+    FROM scored WHERE rank <= 5 ORDER BY q_id, rank
+    """
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Float cosine brute-force top-5 (no oracle: float summation order is
+    engine-specific; the quantized variant is the value-checked one)."""
+    from a5spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("q_id", "rank")
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-3 (single probe, 8-bit hyperplane buckets)."""
+    from a5spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = lsh_bucket_topk(queries, emb, k=3, n_bits=8)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("q_id", "rank")
+
+
+def q_radius_join(spark, sf_dir):
+    """Spatial radius join: every 100th image queries for all images within
+    300 km (A5 cap cover + range join + exact haversine). Oracle: brute-force
+    haversine cross join."""
+    from a5spark.operators.knn import radius_join
+    from a5spark.operators.spatial import assign_cells
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 7)
+    queries = img.filter(F.col("k") % 100 == 0).select(
+        F.col("image_id").alias("query_id"), "lon", "lat", "cell"
+    )
+    pts = img.select("image_id", "lon", "lat", "cell")
+    out = radius_join(queries, pts, radius_m=300000.0, resolution=7)
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within"),
+            F.min("image_id").alias("min_image"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def oracle_radius_join():
+    img_cte = """
+      SELECT printf('img_%012d', o_orderkey) AS image_id,
+             ((o_orderkey % 1048576) * 9973 + 12345) % 360000 / 1000.0 - 180.0 AS lon,
+             degrees(asin(((o_orderkey % 1048576) * 104729 + 54321) % 2000001 / 1000000.0 - 1.0)) AS lat,
+             o_orderkey AS k
+      FROM orders
+    """
+    return f"""
+    WITH img AS ({img_cte}),
+    q AS (SELECT image_id AS query_id, lon AS q_lon, lat AS q_lat FROM img WHERE k % 100 = 0)
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_within, min(image_id) AS min_image
+    FROM q JOIN img
+      ON 2 * 6371007.2 * asin(sqrt(
+           sin(radians(lat - q_lat) / 2) * sin(radians(lat - q_lat) / 2)
+           + cos(radians(q_lat)) * cos(radians(lat))
+             * sin(radians(lon - q_lon) / 2) * sin(radians(lon - q_lon) / 2)
+         )) <= 300000.0
+    GROUP BY query_id ORDER BY query_id
+    """
+
+
+def q_knn_images(spark, sf_dir):
+    """A5 grid-disk kNN join: 5 nearest images for every 200th image
+    (rows-only check; completeness depends on k_ring vs local density)."""
+    from a5spark.operators.knn import knn_join
+    from a5spark.operators.spatial import assign_cells
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
+    queries = img.filter(F.col("k") % 200 == 0).select(
+        F.col("image_id").alias("query_id"), "lon", "lat", "cell"
+    )
+    pts = img.select("image_id", "lon", "lat", "cell")
+    out = knn_join(queries, pts, k=5, k_ring=2)
+    return out.select(
+        "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")
+    ).orderBy("query_id", "rank")
+
+
+def q_polyfill_cover(spark, sf_dir):
+    """Distributed polyfill: cover sizes for a small polygon layer
+    (rows-only; the kernel itself is fixture-pinned in tests)."""
+    import json as _json
+
+    from a5spark.operators.polygons import polyfill_cover
+
+    polys = [
+        ("uk_box", [[[-8.0, 50.0], [2.0, 50.0], [2.0, 59.0], [-8.0, 59.0]]]),
+        ("alps_tri", [[[6.0, 44.0], [14.0, 45.0], [10.0, 48.0]]]),
+        ("horn", [[[40.0, 2.0], [52.0, 2.0], [52.0, 12.0], [44.0, 12.0]]]),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, _json.dumps(rings)) for pid, rings in polys],
+        ["polygon_id", "rings_json"],
+    )
+    cover = polyfill_cover(pdf, resolution=7)
+    return cover.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("resolution").alias("min_res"),
+        F.max("resolution").alias("max_res"),
+    ).orderBy("polygon_id")
+
+
+def q_pip_join(spark, sf_dir):
+    """Point-in-polygon join: images vs the polygon layer (cover join +
+    exact PIP refine). Rows-only check."""
+    import json as _json
+
+    from a5spark.operators.polygons import pip_refine, point_in_polygon_join, polyfill_cover
+    from a5spark.operators.spatial import assign_cells
+
+    polys = [
+        ("atlantic_box", [[[-40.0, 10.0], [-10.0, 10.0], [-10.0, 40.0], [-40.0, 40.0]]]),
+        ("pacific_box", [[[150.0, -20.0], [179.0, -20.0], [179.0, 10.0], [150.0, 10.0]]]),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, _json.dumps(rings)) for pid, rings in polys],
+        ["polygon_id", "rings_json"],
+    )
+    cover = polyfill_cover(pdf, resolution=6)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 9)
+    joined = point_in_polygon_join(img, cover, point_cell="cell")
+    refined = pip_refine(joined, pdf)
+    return refined.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("image_id").alias("min_image"),
+    ).orderBy("polygon_id")
+
+
+def q_s2_crossindex(spark, sf_dir):
+    """Cross-index assignment: A5 + S2 cells per image, joint density
+    (rows-only: S2 encode is not SQL-expressible)."""
+    from a5spark.functions.crossindex import assign_cross_index
+
+    img = images_from_sf_dir(spark, sf_dir)
+    df = assign_cross_index(img, a5_resolution=5, s2_level=8)
+    return (
+        df.groupBy("a5_cell", "s2_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+        .orderBy(F.desc("n_images"), "a5_cell", "s2_cell")
+        .limit(100)
+    )
+
+
+def q_image_stats(spark, sf_dir):
+    """Decoded-pixel statistics + aHash over the binary image column
+    (rows-only; decode round-trip PSNR is asserted in tests)."""
+    from a5spark.operators.multimodal import image_stats
+    from a5spark.sources.images import images_from_sf_dir as _imgs
+
+    img = _imgs(spark, sf_dir, with_bytes=True).limit(200)
+    stats = image_stats(img)
+    return stats.select(
+        "image_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "phash64",
+    ).orderBy("image_id")
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Raster tile pyramid keyed by pentagon cell at res 4..6 (rows-only)."""
+    from a5spark.operators.spatial import assign_cells
+    from a5spark.operators.tiles import tile_pyramid
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 8)
+    tiles = tile_pyramid(img, [4, 5], fine_cell="cell", tile_px=32)
+    return tiles.select(
+        "cell", "resolution", "n_images", "tile_px", F.length("tile").alias("tile_bytes")
+    ).orderBy("resolution", "cell")
+
+
 QUERIES = {
     "hier_parent_rollup": q_hier_parent_rollup,
     "hier_resolution": q_hier_resolution,
@@ -274,6 +660,21 @@ QUERIES = {
     "images_derivation": q_images_derivation,
     "cell_density_r7": q_cell_density_r7,
     "multires_rollup": q_multires_rollup,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "text_profile": q_text_profile,
+    "lang_id": q_lang_id,
+    "ann_quantized": q_ann_quantized,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "radius_join": q_radius_join,
+    "knn_images": q_knn_images,
+    "polyfill_cover": q_polyfill_cover,
+    "pip_join": q_pip_join,
+    "s2_crossindex": q_s2_crossindex,
+    "image_stats": q_image_stats,
+    "tile_pyramid": q_tile_pyramid,
 }
 
 ORACLES = {
@@ -282,4 +683,11 @@ ORACLES = {
     "hier_children": oracle_hier_children(),
     "hier_child_join": oracle_hier_child_join(),
     "images_derivation": oracle_images_derivation(),
+    "dedup_exact": oracle_dedup_exact(),
+    "minhash_lsh": oracle_minhash_lsh(),
+    "simhash": oracle_simhash(),
+    "text_profile": oracle_text_profile(),
+    "lang_id": oracle_lang_id(),
+    "ann_quantized": oracle_ann_quantized(),
+    "radius_join": oracle_radius_join(),
 }

@@ -110,6 +110,24 @@ def _estimate_pentagon_margin(spherical_cart, origin_id, quintant, orientation, 
     return polygon_contains(verts, face)
 
 
+def _margin_for_keys(cart, keys):
+    """Reference-faithful containment margin of each point in the cell its
+    KEY denotes (deserialize -> that resolution's pentagon). This matters at
+    res 30 where out-of-bounds quintants serialize as res-29 cells and the
+    reference therefore verifies against the res-29 pentagon
+    (serialization.py:123-134, cell.py:95-99)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    origin_id, segment, S, resolution = deserialize(keys)
+    quintant, orientation = segment_to_quintant(segment, origin_id)
+    out = np.full(keys.shape[0], -np.inf)
+    for res in np.unique(resolution):
+        m = resolution == res
+        out[m] = _estimate_pentagon_margin(
+            cart[m], origin_id[m], quintant[m], orientation[m], S[m], int(res)
+        )
+    return out
+
+
 def _quat_rotation_to_pole(cart):
     """Quaternion rotating the +z pole onto each row of cart (N, 3)
     (gl-matrix rotation_to with a = pole)."""
@@ -145,10 +163,146 @@ def lonlat_to_cell(lon, lat, resolution: int) -> np.ndarray:
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     theta, phi = from_lonlat(lon, lat)
-    return spherical_to_cell(theta, phi, resolution)
+    return spherical_to_cell(theta, phi, resolution, lonlat=(lon, lat))
 
 
-def spherical_to_cell(theta, phi, resolution: int) -> np.ndarray:
+def _lattice_flavor(x, y, z):
+    """Pentagon flavor as a closed-form lattice function: flavor =
+    parity | (((y & 1) ^ parity) << 1). Verified exhaustively against the
+    curve descent over full quintants at res 6, all 6 orientations."""
+    parity = x + y + z
+    return parity | (((y & 1) ^ parity) << 1)
+
+
+def _signed_min_margin(face, hres, quintant, x, y, flavor):
+    """Signed minimum edge margin of the (unscaled) face-frame point in the
+    lattice cell (x, y, flavor) of `quintant`: min over edges of
+    cross / |p - v1|. Positive = inside; magnitude below the per-resolution
+    noise floor means the numpy and reference libm chains may disagree."""
+    verts = pentagon_vertices(
+        np.full(x.shape, hres, dtype=np.int64), quintant, x, y, flavor
+    )
+    v2 = np.roll(verts, -1, axis=1)
+    dx = verts[..., 0] - v2[..., 0]
+    dy = verts[..., 1] - v2[..., 1]
+    px = face[:, None, 0] - verts[..., 0]
+    py = face[:, None, 1] - verts[..., 1]
+    cross = dx * py - dy * px
+    p_len = np.sqrt(px * px + py * py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(p_len > 0, cross / p_len, cross)
+    return d.min(axis=1)
+
+
+def _noise_floor(hres: int) -> float:
+    """Knife-edge threshold: face-coordinate double noise (~1e-16 abs)
+    amplified by the cell scale 2^hres, with safety headroom."""
+    return (2.0 ** hres) * 1e-13
+
+
+def _origin_order_spherical(theta, phi):
+    """Origin ids sorted by the modified-haversine metric, ascending (N, 12)."""
+    from .origins import ORIGIN_AXIS_SPH
+
+    ax_th = ORIGIN_AXIS_SPH[:, 0]
+    ax_ph = ORIGIN_AXIS_SPH[:, 1]
+    dtheta = ax_th[None, :] - theta[:, None]
+    dphi = ax_ph[None, :] - phi[:, None]
+    a1 = np.sin(dphi / 2.0)
+    a2 = np.sin(dtheta / 2.0)
+    d = a1 * a1 + a2 * a2 * (np.sin(phi)[:, None] * np.sin(ax_ph)[None, :])
+    return np.argsort(d, axis=1, kind="stable")
+
+
+def _locate_in_face(face, origin_id, resolution: int, quintant_override):
+    """One location attempt in a given origin's face frame: curve estimate +
+    margin verification + 7-neighbor pass with knife-edge detection.
+    Returns (keys, quintant, orientation, S, solved_mask, knife_mask);
+    unsolved rows carry the estimate values. Knife rows are those whose
+    classification sits within the libm noise floor — the caller must route
+    them to the scalar-exact encoder."""
+    from .curve import triple_to_s
+    from .neighbors import NEIGHBOR_DELTAS
+
+    if quintant_override is None:
+        gamma = np.arctan2(face[:, 1], face[:, 0])
+        quintant = (np.rint(gamma / TWO_PI_OVER_5).astype(np.int64) + 5) % 5
+    else:
+        quintant = np.asarray(quintant_override, dtype=np.int64)
+    segment, orientation = quintant_to_segment(quintant, origin_id)
+    extra_angle = 2 * PI_OVER_5 * quintant
+    c = np.cos(-extra_angle)
+    s = np.sin(-extra_angle)
+    fx = np.where(quintant != 0, c * face[:, 0] - s * face[:, 1], face[:, 0])
+    fy = np.where(quintant != 0, s * face[:, 0] + c * face[:, 1], face[:, 1])
+    hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
+    scale_factor = float(2 ** hres)
+    fx = fx * scale_factor
+    fy = fy * scale_factor
+    i = BASIS_INV[0, 0] * fx + BASIS_INV[0, 1] * fy
+    j = BASIS_INV[1, 0] * fx + BASIS_INV[1, 1] * fy
+    S = ij_to_s(i, j, hres, orientation)
+    keys = serialize(origin_id, segment, S, resolution)
+
+    thr = _noise_floor(hres)
+    x, y, z, flavor = s_to_cell(S, hres, orientation)
+    amin = _signed_min_margin(face, hres, quintant, x, y, flavor)
+    knife = np.abs(amin) <= thr
+    ok = amin > thr
+    if (ok | knife).all():
+        return keys, quintant, orientation, S, ok, knife
+
+    rs = np.where(~ok & ~knife)[0]
+    nx = x[rs, None] + NEIGHBOR_DELTAS[flavor[rs]][:, :, 0]
+    ny = y[rs, None] + NEIGHBOR_DELTAS[flavor[rs]][:, :, 1]
+    nz = z[rs, None] + NEIGHBOR_DELTAS[flavor[rs]][:, :, 2]
+    psum = nx + ny + nz
+    max_row = (1 << hres) - 1
+    limit = ny - psum
+    in_bounds = (
+        ((psum == 0) | (psum == 1))
+        & (nx <= 0)
+        & (nz <= 0)
+        & (ny >= 0)
+        & (ny <= max_row)
+        & (nx >= -limit)
+        & (nz >= -limit)
+    )
+    nfl = _lattice_flavor(nx, ny, nz)
+    hits = np.zeros(rs.shape[0], dtype=np.int64) - 1
+    n_hits = np.zeros(rs.shape[0], dtype=np.int64)
+    nb_knife = np.zeros(rs.shape[0], dtype=bool)
+    for d in range(7):
+        m = in_bounds[:, d]
+        if not m.any():
+            continue
+        am = np.full(rs.shape[0], -np.inf)
+        am[m] = _signed_min_margin(
+            face[rs][m], hres, quintant[rs][m], nx[m, d], ny[m, d], nfl[m, d]
+        )
+        nb_knife |= np.abs(am) <= thr
+        contains = am > thr
+        hits = np.where(contains & (n_hits == 0), d, hits)
+        n_hits += contains.astype(np.int64)
+    knife[rs] |= nb_knife
+    resolved = (n_hits == 1) & ~nb_knife
+    if resolved.any():
+        d = hits[resolved]
+        sel = np.arange(rs.shape[0])[resolved]
+        rr = rs[resolved]
+        S2 = triple_to_s(nx[sel, d], ny[sel, d], nz[sel, d], hres, orientation[rr])
+        S = S.copy()
+        S[rr] = S2
+        keys[rr] = serialize(origin_id[rr], segment[rr], S2, resolution)
+        ok = ok.copy()
+        ok[rr] = True
+    return keys, quintant, orientation, S, ok, knife
+def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
+    """Batch encoder. `lonlat` optionally carries the original geodetic
+    inputs so the scalar-exact fallback reproduces the reference's full
+    math.* chain from lon/lat; without it the fallback starts from the given
+    internal spherical coordinates (the reference's spherical_to_cell entry,
+    used by dense polygon sampling)."""
     N = theta.shape[0]
     if resolution == -1:
         return np.zeros(N, dtype=np.uint64)
@@ -156,115 +310,82 @@ def spherical_to_cell(theta, phi, resolution: int) -> np.ndarray:
     cart = to_cartesian(theta, phi)
     origin_id = find_nearest_origin_spherical(theta, phi)
     face = dodec_forward(cart, origin_id)
-    segment, S, quintant, orientation = _face_to_estimate(face, origin_id, resolution)
 
     if resolution < FIRST_HILBERT_RESOLUTION:
+        segment, S, quintant, orientation = _face_to_estimate(face, origin_id, resolution)
         return serialize(origin_id, segment, S, resolution)
 
-    keys = serialize(origin_id, segment, S, resolution)
-    margin = _estimate_pentagon_margin(cart, origin_id, quintant, orientation, S, resolution)
-    ok = margin > 0
-    if ok.all():
-        return keys
+    # --- attempt chain: natural frame -> adjacent quintants -> 2nd/3rd
+    # nearest origins. Each attempt accepts only margins clear of the libm
+    # noise floor, so the container found equals the reference's answer (the
+    # strict container is unique for interior points). Knife-edge rows and
+    # rows with no clear container route to the scalar-exact encoder, which
+    # mirrors the reference bit-for-bit. ---
+    hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
 
-    # --- spiral fallback over the residual rows (cell.py:102-147) ---
-    resid = np.where(~ok)[0]
-    n = resid.shape[0]
-    hilbert_resolution = 1 + resolution - FIRST_HILBERT_RESOLUTION
-    scale = _SPIRAL_SCALE_RAD / (2 ** hilbert_resolution)
+    k0, q0, o0, S0, solved, knife = _locate_in_face(face, origin_id, resolution, None)
+    keys = k0
+    unresolved = np.where(~solved & ~knife)[0]
 
-    r_cart = cart[resid]
-    quat = _quat_rotation_to_pole(r_cart)
-
-    # Candidate history: keys + margins, slot 0 = first estimate.
-    max_slots = 1 + SPIRAL_SAMPLE_COUNT
-    cand_keys = np.zeros((n, max_slots), dtype=np.uint64)
-    cand_margin = np.full((n, max_slots), -np.inf)
-    cand_keys[:, 0] = keys[resid]
-    cand_margin[:, 0] = margin[resid]
-    n_cand = np.ones(n, dtype=np.int64)
-
-    active = np.ones(n, dtype=bool)
-    result = np.zeros(n, dtype=np.uint64)
-
-    for i in range(SPIRAL_SAMPLE_COUNT):
-        if not active.any():
+    # adjacent quintants (same origin)
+    for dq in (1, 4):
+        if not unresolved.size:
             break
-        rows = np.where(active)[0]
-        dirs = _rotate_by_quat(
-            np.broadcast_to(_SPIRAL_DIRECTIONS[i], (rows.shape[0], 3)), quat[rows]
+        sub = unresolved
+        qq = (q0[sub] + dq) % 5
+        k2, q2, o2, S2, s2, kn2 = _locate_in_face(
+            face[sub], origin_id[sub], resolution, qq
         )
-        R = ((i + 1) / (SPIRAL_SAMPLE_COUNT + 1)) * scale
-        sample = r_cart[rows] + dirs * R
+        hit = s2 & ~kn2
+        keys[sub[hit]] = k2[hit]
+        knife[sub[kn2]] = True
+        unresolved = sub[~hit & ~kn2]
 
-        s_oid = find_nearest_origin_cartesian(sample)
-        s_face = dodec_forward(sample, s_oid)
-        s_seg, s_S, s_quin, s_orient = _face_to_estimate(s_face, s_oid, resolution)
-        s_keys = serialize(s_oid, s_seg, s_S, resolution)
+    # 2nd and 3rd nearest origins (face seams / corners)
+    for rank in (1, 2):
+        if not unresolved.size:
+            break
+        sub = unresolved
+        oid2 = _origin_order_spherical(theta[sub], phi[sub])[:, rank]
+        face2 = dodec_forward(cart[sub], oid2)
+        k2, q2, o2, S2, s2, kn2 = _locate_in_face(face2, oid2, resolution, None)
+        hit = s2 & ~kn2
+        keys[sub[hit]] = k2[hit]
+        knife[sub[kn2]] = True
+        unresolved = sub[~hit & ~kn2]
 
-        # dedup against seen candidates per row
-        seen = (cand_keys[rows] == s_keys[:, None]).any(axis=1)
-        fresh = ~seen
-        if not fresh.any():
-            continue
-        frows = rows[fresh]
-        m = _estimate_pentagon_margin(
-            r_cart[frows], s_oid[fresh], s_quin[fresh], s_orient[fresh],
-            s_S[fresh], resolution,
+    if resolution == MAX_RESOLUTION:
+        # Out-of-bounds quintants serialize as res-29 cells and the reference
+        # verifies against the RES-29 pentagon (children do not nest exactly),
+        # so fast-path results whose key fell back re-verify at res 29; any
+        # ambiguity goes scalar.
+        solved_rows = np.setdiff1d(
+            np.setdiff1d(np.arange(N), unresolved), np.where(knife)[0]
         )
-        slot = n_cand[frows]
-        cand_keys[frows, slot] = s_keys[fresh]
-        cand_margin[frows, slot] = m
-        n_cand[frows] += 1
-        hit = m > 0
-        if hit.any():
-            hrows = frows[hit]
-            result[hrows] = s_keys[fresh][hit]
-            active[hrows] = False
+        from .serialization import get_resolution as _getres
 
-    # Residual after spiral: try neighbors of the best candidates, then
-    # fall back to max-margin (cell.py:122-147). Stable sort keeps insertion
-    # order on ties, matching the reference's list.sort.
-    if active.any():
-        try:
-            from .neighbors import global_cell_neighbors_scalar
-        except ImportError:  # neighbor traversal not built yet
-            def global_cell_neighbors_scalar(_key):
-                return []
+        fell_back = solved_rows[_getres(keys[solved_rows]) != MAX_RESOLUTION]
+        if fell_back.size:
+            knife[fell_back] = True
 
-        for r in np.where(active)[0]:
-            k = n_cand[r]
-            order = np.argsort(-cand_margin[r, :k], kind="stable")
-            keys_r = list(cand_keys[r, :k][order])
-            margins_r = list(cand_margin[r, :k][order])
-            seen = set(int(x) for x in cand_keys[r, :k])
-            found = False
-            for kk in range(min(3, len(keys_r))):
-                for nb in global_cell_neighbors_scalar(int(keys_r[kk])):
-                    if nb in seen:
-                        continue
-                    seen.add(nb)
-                    o2, s2, S2, _ = deserialize(np.array([nb], dtype=np.uint64))
-                    q2, or2 = segment_to_quintant(s2, o2)
-                    m2 = _estimate_pentagon_margin(
-                        r_cart[r : r + 1], o2, q2, or2, S2, resolution
-                    )[0]
-                    if m2 > 0:
-                        result[r] = nb
-                        active[r] = False
-                        found = True
-                        break
-                    keys_r.append(np.uint64(nb))
-                    margins_r.append(m2)
-                if found:
-                    break
-            if not found:
-                best = int(np.argmax(np.array(margins_r)))
-                # ties: first occurrence (matches stable re-sort in reference)
-                result[r] = keys_r[best]
-                active[r] = False
+    # --- scalar-exact fallback (reference-order search with math.* libm) ---
+    resid = np.union1d(unresolved, np.where(knife)[0])
+    if resid.size:
+        from .scalar_encode import encode_scalar, spherical_to_cell_scalar
 
-    keys[resid] = result
+        if lonlat is not None:
+            lon_a, lat_a = lonlat
+            for r in resid:
+                keys[r] = np.uint64(
+                    encode_scalar(float(lon_a[r]), float(lat_a[r]), resolution)
+                )
+        else:
+            for r in resid:
+                keys[r] = np.uint64(
+                    spherical_to_cell_scalar(
+                        float(theta[r]), float(phi[r]), resolution
+                    )
+                )
     return keys
 
 

@@ -214,7 +214,18 @@ def _build_ea_constants():
     F = P * P - Q * Q
     G = 2.0 * Q * R
     alpha_transform = np.array([V * V - F, -G, -2.0 * V * P, 2.0 * V * Q, V * V + F, G])
-    area = float(spherical_triangle_area(A, B, C))
+    # math.atan2 (not np.arctan2) so the constant matches the reference libm
+    # bit-for-bit — it feeds every forward/inverse projection.
+    norm = (
+        1.0
+        + (A[0] * B[0] + A[1] * B[1] + A[2] * B[2])
+        + (B[0] * C[0] + B[1] * C[1] + B[2] * C[2])
+        + (C[0] * A[0] + C[1] * A[1] + C[2] * A[2])
+    )
+    cx = B[1] * C[2] - B[2] * C[1]
+    cy = B[2] * C[0] - B[0] * C[2]
+    cz = B[0] * C[1] - B[1] * C[0]
+    area = 2.0 * math.atan2(A[0] * cx + A[1] * cy + A[2] * cz, norm)
     return AdotB, AdotC, alpha_transform, area, V
 
 

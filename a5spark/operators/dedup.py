@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash derivations use md5 (available identically in Spark, DuckDB and
+Python) with integers taken from the leading 15 hex chars — deterministic,
+engine-portable, and overflow-safe in int64. Every operator is a declarative
+DataFrame transform:
+
+  exact:    hash-groupBy on content digest (two-phase agg, no skew risk —
+            digests are uniform);
+  minhash:  shingle explode -> per-(doc, seed) min over hashed shingles ->
+            band signature -> bucket equi-join for candidate pairs;
+  simhash:  token explode -> per-bit weighted sums -> sign -> Hamming bucket;
+  ngram-jaccard: shingle-set overlap of candidate pairs (exact verify step).
+
+Scale notes: minhash shuffle volume = docs x n_hashes rows (grouped
+map-side); candidate-pair generation joins on (band_idx, band_hash) which is
+uniformly distributed by construction. Self-joins use id< id ordering to halve
+the pair space.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from a5spark.functions.native import _shl, _shru
+
+
+def content_digest(col) -> Column:
+    """Portable 60-bit integer digest of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeps the smallest id, counts copies."""
+    return (
+        df.groupBy(content_digest(F.col(text)).alias("digest"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text: str = "text", k: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Character k-gram shingle relation (doc_id, shingle). JVM-side:
+    sequence + substring explode, no UDF."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(F.col(text)) - (k - 1)))
+    ).alias("pos")
+    return df.select(F.col(id_col), F.col(text), pos).select(
+        F.col(id_col), F.substring(F.col(text), F.col("pos"), k).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of digest(seed || shingle)."""
+    sh = shingles(df, text, k, id_col).dropDuplicates([id_col, "shingle"])
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    expanded = sh.select(F.col(id_col), F.col("shingle"), seeds)
+    h = content_digest(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        expanded.withColumn("h", h)
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_bands(
+    signatures: DataFrame, band_size: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash): concatenated per-band signature hash."""
+    banded = signatures.withColumn(
+        "band_idx", (F.col("seed") / band_size).cast("int")
+    )
+    return (
+        banded.groupBy(id_col, "band_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seed", "minhash"))
+            ).alias("sig")
+        )
+        .select(
+            F.col(id_col),
+            F.col("band_idx"),
+            content_digest(
+                F.array_join(F.transform("sig", lambda s: s["minhash"].cast("string")), ",")
+            ).alias("band_hash"),
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket."""
+    a = bands.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """bits-wide simhash over whitespace tokens: bit b set iff the sum of
+    (+-1 per token, sign of token-hash bit b) is positive."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tokens = tokens.withColumn("h", content_digest(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = tokens.select(F.col(id_col), F.col("h"), bit).withColumn(
+        "delta",
+        (_shru(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+    sums = contrib.groupBy(id_col, "bit").agg(F.sum("delta").alias("s"))
+    return sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, _shl(F.lit(1), F.col("bit"))).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, k: int = 5, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-Jaccard similarity for candidate pairs (verify step)."""
+    sh = shingles(docs, text, k, id_col).dropDuplicates([id_col, "shingle"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )

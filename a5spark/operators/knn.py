@@ -1,0 +1,145 @@
+"""k-nearest-neighbor join via grid-disk candidate expansion.
+
+The A5 analogue of the classic cell-grid kNN join (reference grid-disk
+semantics, traversal/grid_disk.py:51-70):
+
+  1. queries expand to their k-ring disks (Arrow-batched BFS kernel) —
+     candidate cell sets whose radius covers the k nearest neighbors for
+     locally-uniform densities;
+  2. equi-join candidates against the point table's cell column (shuffle
+     hash join keyed by the int64 cell; the query side is usually the small
+     side -> broadcast);
+  3. exact haversine refinement JVM-side;
+  4. per-query top-k with a row_number window.
+
+Scale notes: the expansion factor is |disk| ~ 3k^2, so the shuffle volume is
+bounded and explicit; hot query cells are spread by the disk explode itself.
+For guaranteed-k results the caller grows `k_ring` and re-runs the residual
+queries (standard iterative expansion).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from a5spark.functions.udfs import haversine_m
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def a5_grid_disk(cell: pd.Series, k: pd.Series) -> pd.Series:
+    """Disk of cells within k edge-hops of each input cell (uncompacted)."""
+    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.kernels.traversal import grid_disk_batch
+
+    cells = from_signed(cell.to_numpy(np.int64))
+    kv = k.to_numpy()
+    out = [None] * len(cells)
+    for kk in np.unique(kv):
+        idx = np.where(kv == kk)[0]
+        rows, disk = grid_disk_batch(cells[idx], int(kk), edge_only=True, do_compact=False)
+        signed = to_signed(disk)
+        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+        for j in range(len(idx)):
+            out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def a5_spherical_cap(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
+    """Cells within a great-circle radius of each cell's center (compacted)."""
+    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.kernels.traversal import spherical_cap_batch
+
+    cells = from_signed(cell.to_numpy(np.int64))
+    rv = radius_m.to_numpy(np.float64)
+    out = [None] * len(cells)
+    for r in np.unique(rv):
+        idx = np.where(rv == r)[0]
+        rows, cap = spherical_cap_batch(cells[idx], float(r))
+        signed = to_signed(cap)
+        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+        for j in range(len(idx)):
+            out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
+    return pd.Series(out)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    k_ring: int = 2,
+    query_id: str = "query_id",
+    cell: str = "cell",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k nearest points for each query row.
+
+    queries: (query_id, lon, lat, cell) — cell at the index resolution.
+    points:  (..., lon, lat, cell) — same resolution.
+    Returns query columns + point columns + dist_m + rank (1..k).
+    """
+    q = queries.select(
+        F.col(query_id),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        F.explode(a5_grid_disk(F.col(cell), F.lit(k_ring))).alias(cell),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cand = q.join(points, cell, "inner")
+    cand = cand.withColumn(
+        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist_m"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def radius_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_m: float,
+    query_id: str = "query_id",
+    cell: str = "cell",
+    resolution: int | None = None,
+) -> DataFrame:
+    """All points within radius_m of each query: compacted-cap expansion +
+    descendant-range join + exact haversine filter.
+
+    Completeness: the cap is centered on the query CELL center and keeps cells
+    by THEIR center, so the cover radius is expanded by twice the conservative
+    cell circumradius (query-point offset + candidate-cell extent) — every
+    point within radius_m of the query point is guaranteed to be in a covered
+    cell; the final haversine filter is exact."""
+    from a5spark.functions import native
+    from a5spark.kernels.traversal import estimate_cell_radius
+
+    cap_radius = radius_m
+    if resolution is not None:
+        cap_radius = radius_m + 2.0 * estimate_cell_radius(resolution)
+
+    caps = queries.select(
+        F.col(query_id),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        F.explode(a5_spherical_cap(F.col(cell), F.lit(cap_radius))).alias("cap_cell"),
+    )
+    from a5spark.functions.udfs import a5_get_resolution
+
+    caps = caps.withColumn("cap_res", a5_get_resolution(F.col("cap_cell")))
+    caps = caps.withColumn(
+        "__lo", native.cell_range_lo(F.col("cap_cell"), F.col("cap_res"))
+    ).withColumn("__hi", native.cell_range_hi(F.col("cap_cell"), F.col("cap_res")))
+    pts = points.withColumn("__pk", native.shifted_key(F.col(cell)))
+    joined = pts.join(
+        F.broadcast(caps.drop("cap_cell", "cap_res")),
+        (F.col("__pk") >= F.col("__lo")) & (F.col("__pk") <= F.col("__hi")),
+    ).drop("__pk", "__lo", "__hi")
+    joined = joined.withColumn(
+        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    )
+    return joined.filter(F.col("dist_m") <= radius_m)

@@ -1,0 +1,148 @@
+"""Polygon layer operators: distributed polyfill + point-in-polygon joins.
+
+Scale design: polyfill is a per-polygon sequential BFS (reference
+regions/polygon.py:232-307), so the engine parallelizes ACROSS polygons —
+one task per polygon via applyInPandas over the polygons DataFrame — and the
+result is a (polygon_id, cell, resolution) cover relation. The cover is
+small relative to the point table, so the spatial join broadcasts it:
+
+  points x cover:  equi-join on cell at the cover's fill resolution, or
+                   unsigned-range join on the shifted key for compacted
+                   (multi-resolution) covers.
+
+Exact refinement (centroids vs true polygon edges) runs as an Arrow-batched
+PIP kernel over the surviving candidates only — the classic filter-and-refine.
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from a5spark.operators.spatial import cover_join, multires_cover_join
+
+COVER_SCHEMA = StructType(
+    [
+        StructField("polygon_id", StringType()),
+        StructField("cell", LongType()),
+        StructField("resolution", IntegerType()),
+    ]
+)
+
+
+def polyfill_cover(
+    polygons: DataFrame,
+    resolution: int,
+    id_col: str = "polygon_id",
+    rings_col: str = "rings_json",
+) -> DataFrame:
+    """Compute the compacted A5 cover of every polygon.
+
+    polygons: DataFrame with a string id and a JSON-encoded rings column
+    ``[[ [lon, lat], ... ], ...]`` (outer ring first, then holes).
+    Returns (polygon_id, cell, resolution) — `resolution` is each cover
+    cell's own resolution (compacted covers mix levels).
+    """
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        from a5spark.kernels.polyfill import polygon_to_cells
+        from a5spark.kernels.serialization import get_resolution, to_signed
+
+        out_ids = []
+        out_cells = []
+        out_res = []
+        for pid, rings_json in zip(pdf[id_col], pdf[rings_col]):
+            rings = json.loads(rings_json)
+            cells = polygon_to_cells(rings, resolution)
+            if cells.size == 0:
+                continue
+            res = get_resolution(cells)
+            out_ids.extend([pid] * cells.size)
+            out_cells.append(to_signed(cells))
+            out_res.append(res.astype(np.int32))
+        if not out_cells:
+            return pd.DataFrame(
+                {"polygon_id": [], "cell": [], "resolution": []}
+            ).astype({"cell": "int64", "resolution": "int32"})
+        return pd.DataFrame(
+            {
+                "polygon_id": out_ids,
+                "cell": np.concatenate(out_cells),
+                "resolution": np.concatenate(out_res),
+            }
+        )
+
+    # one polygon per task: repartition by id so big polygons don't convoy
+    n = max(1, polygons.count())
+    return (
+        polygons.repartition(min(n, 512), id_col)
+        .groupBy(id_col)
+        .applyInPandas(lambda _key, pdf: fill(pdf), COVER_SCHEMA)
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    cover: DataFrame,
+    point_cell: str = "cell",
+    uncompacted: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Join points (with a fine-resolution cell column) against polygon
+    covers. Compacted covers use the unsigned descendant-range join;
+    uncompacted single-resolution covers use a plain equi-join."""
+    if uncompacted:
+        return cover_join(points, cover.select("cell", "polygon_id"), point_cell, broadcast)
+    return multires_cover_join(
+        points, cover, "cell", "resolution", point_cell, broadcast
+    )
+
+
+def pip_refine(
+    df: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "polygon_id",
+    rings_col: str = "rings_json",
+) -> DataFrame:
+    """Exact point-in-polygon refinement of join candidates: prepared-polygon
+    containment (cap -> crossing-number -> winding fallback) over Arrow
+    batches, grouped per polygon so the prepared structure is built once per
+    batch."""
+    schema = df.schema
+
+    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from a5spark.kernels.polyfill import PreparedPolygon, point_in_prepared_polygon
+        from a5spark.kernels.transforms import from_lonlat, to_cartesian
+
+        rings = json.loads(pdf["__rings"].iloc[0])
+        ring_vecs = []
+        for ring in rings:
+            arr = np.asarray(ring, dtype=np.float64)
+            if arr.shape[0] > 1 and (arr[0] == arr[-1]).all():
+                arr = arr[:-1]
+            th, ph = from_lonlat(arr[:, 0], arr[:, 1])
+            ring_vecs.append(to_cartesian(th, ph))
+        prep = PreparedPolygon(ring_vecs)
+        th, ph = from_lonlat(
+            pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64)
+        )
+        pts = to_cartesian(th, ph)
+        inside = point_in_prepared_polygon(pts, prep)
+        return pdf.loc[inside].drop(columns=["__rings"])
+
+    joined = df.join(
+        F.broadcast(polygons.select(F.col(id_col), F.col(rings_col).alias("__rings"))),
+        id_col,
+    )
+    return joined.groupBy(id_col).applyInPandas(refine, schema)

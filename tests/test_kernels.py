@@ -192,9 +192,9 @@ def test_random_oracle_encode_decode():
             [ref_encode((lon[k], lat[k]), res) for k in range(N)], dtype=np.uint64
         )
         mismatches = int((got != exp).sum())
-        # ULP-level transcendental differences may flip exact-boundary points;
-        # allow <=0.1% of rows to differ by at most one adjacent cell.
-        assert mismatches <= max(1, N // 1000), f"res {res}: {mismatches}"
+        # knife-edge rows route through the scalar-exact encoder, so the
+        # vectorized encoder must match the reference bit-for-bit everywhere
+        assert mismatches == 0, f"res {res}: {mismatches}"
         lo, la = kcell.cell_to_lonlat(got)
         for k in range(0, N, 50):
             rl = ref_c2l(int(got[k]))

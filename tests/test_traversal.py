@@ -121,3 +121,23 @@ def test_polygon_fixture():
         got = kpoly.polygon_to_cells(case["polygon"], case["resolution"])
         n = len(set(int(v) for v in kcompact.uncompact(got, case["resolution"])))
         assert n == case["cellCount"], case["name"]
+
+
+@needs_ref
+def test_line_fixture_and_oracle():
+    from a5spark.kernels.line import line_string_to_cells
+
+    fix = _load("traversal", "fixtures", "line.json")
+    _ref()
+    from a5.traversal.line import line_string_to_cells as ref_line
+
+    for case in fix["lineSegment"]:
+        got = sorted(
+            int(v)
+            for v in line_string_to_cells([case["start"], case["end"]], case["resolution"])
+        )
+        assert got == sorted(int(h, 16) for h in case["cells"]), case["name"]
+    # order parity against the live reference
+    wp = [(-0.1276, 51.5074), (2.3522, 48.8566)]  # London -> Paris
+    got = [int(v) for v in line_string_to_cells(wp, 7)]
+    assert got == ref_line(wp, 7)
