@@ -1,0 +1,125 @@
+"""Spark integration tests: image decode round-trip (PSNR gate), tile
+pyramid determinism, checkpoint/resume idempotence, cross-index assignment."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+SF_DIR = os.environ.get("A5_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from a5spark.session import get_spark
+
+    s = get_spark("a5spark-pipeline-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_image_bytes_roundtrip_psnr(spark):
+    """input_hint gate: decoded pixels must match the reference bytes at
+    PSNR >= 40 dB (deterministic synthesis -> identical -> inf)."""
+    from a5spark.operators.multimodal import decode_image, psnr
+    from a5spark.sources.images import synthesize_images
+
+    df = synthesize_images(spark, 50).select("image_id", "bytes", "w", "h", "fmt", "k")
+    rows = df.collect()
+    assert len(rows) == 50
+    # regenerate the same table: bytes must be identical
+    rows2 = {
+        r["image_id"]: r
+        for r in synthesize_images(spark, 50)
+        .select("image_id", "bytes", "w", "h", "fmt")
+        .collect()
+    }
+    for r in rows:
+        other = rows2[r["image_id"]]
+        a = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+        b = decode_image(other["bytes"], other["w"], other["h"], other["fmt"])
+        assert psnr(a, b) >= 40.0
+        assert a.shape == (r["h"], r["w"], 3)
+
+
+def test_resize_and_stats(spark):
+    from a5spark.operators.multimodal import image_stats, resize_images
+    from a5spark.sources.images import synthesize_images
+
+    df = synthesize_images(spark, 20)
+    stats = image_stats(df).collect()
+    assert len(stats) == 20
+    assert all(0 <= r["mean_r"] <= 255 for r in stats)
+    resized = resize_images(df, 16, 16).collect()
+    assert all(len(r["bytes"]) == 16 * 16 * 3 for r in resized)
+
+
+def test_codec_stub_raises():
+    from a5spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", 10, 10, "jpeg")
+
+
+def test_tile_pyramid_psnr(spark):
+    from a5spark.operators.spatial import assign_cells
+    from a5spark.operators.tiles import tile_pyramid, verify_tiles
+    from a5spark.sources.images import images_from_sf_dir
+
+    img = assign_cells(images_from_sf_dir(spark, SF_DIR), 7)
+    tiles = tile_pyramid(img, [4], fine_cell="cell", tile_px=16)
+    collected = tiles.collect()
+    assert len(collected) > 0
+    assert all(len(r["tile"]) == 16 * 16 for r in collected)
+    worst = verify_tiles(tiles, img, [4], tile_px=16)
+    assert worst >= 40.0
+
+
+def test_checkpoint_resume(tmp_path, spark):
+    from a5spark.pipeline.checkpoint import (
+        committed_partitions,
+        read_output,
+        run_partitioned,
+    )
+    from a5spark.sources.images import images_from_sf_dir
+
+    out = str(tmp_path / "ckpt")
+    df = images_from_sf_dir(spark, SF_DIR)
+    n_total = df.count()
+
+    stats1 = run_partitioned(df, out, n_parts=4, key="image_id", batch_parts=2)
+    assert stats1["committed_now"] == 4
+    assert committed_partitions(out) == {0, 1, 2, 3}
+    assert read_output(spark, out).count() == n_total
+
+    # simulate a crash: remove one manifest entry, rerun -> only that part
+    os.remove(os.path.join(out, "_manifest", "2.json"))
+    shutil.rmtree(os.path.join(out, "data", "part=2"))
+    stats2 = run_partitioned(df, out, n_parts=4, key="image_id", batch_parts=2)
+    assert stats2["committed_now"] == 1
+    assert read_output(spark, out).count() == n_total
+
+
+def test_cross_index_assignment(spark):
+    from a5spark.functions.crossindex import assign_cross_index
+    from a5spark.kernels import s2 as ks2
+    from a5spark.sources.images import images_from_sf_dir
+
+    df = assign_cross_index(
+        images_from_sf_dir(spark, SF_DIR).limit(200), a5_resolution=7, s2_level=10
+    )
+    rows = df.select("lon", "lat", "a5_cell", "s2_cell").collect()
+    lon = np.array([r["lon"] for r in rows])
+    lat = np.array([r["lat"] for r in rows])
+    exp_s2 = ks2.lonlat_to_cell(lon, lat, 10).view(np.int64)
+    got_s2 = np.array([r["s2_cell"] for r in rows], dtype=np.int64)
+    assert (exp_s2 == got_s2).all()
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+
+    exp_a5 = to_signed(lonlat_to_cell(lon, lat, 7))
+    got_a5 = np.array([r["a5_cell"] for r in rows], dtype=np.int64)
+    assert (exp_a5 == got_a5).all()
