@@ -168,9 +168,7 @@ def q_hier_child_join(spark, sf_dir):
             ).alias("parent")
         )
     )
-    j = li.join(
-        F.broadcast(cover), native.is_child_of(F.col("cell"), F.col("parent"), 4)
-    )
+    j = spatial.child_of_join(li, cover, parent_resolution=4)
     return j.groupBy("parent").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     ).orderBy("parent")
@@ -601,7 +599,7 @@ def q_pip_join(spark, sf_dir):
     )
     cover = polyfill_cover(pdf, resolution=6)
     img = assign_cells(images_from_sf_dir(spark, sf_dir), 9)
-    joined = point_in_polygon_join(img, cover, point_cell="cell")
+    joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
     refined = pip_refine(joined, pdf)
     return refined.groupBy("polygon_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_images"),

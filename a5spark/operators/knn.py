@@ -65,6 +65,28 @@ def a5_spherical_cap(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def a5_cap_cover(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
+    """Uncompacted cap cover at the input cells' own resolution — the
+    equi-join expansion form (cap -> uncompact)."""
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.serialization import from_signed, get_resolution, to_signed
+    from a5spark.kernels.traversal import spherical_cap_batch
+
+    cells = from_signed(cell.to_numpy(np.int64))
+    rv = radius_m.to_numpy(np.float64)
+    out = [None] * len(cells)
+    target = int(get_resolution(cells[:1])[0]) if len(cells) else 0
+    for r in np.unique(rv):
+        idx = np.where(rv == r)[0]
+        rows, cap = spherical_cap_batch(cells[idx], float(r))
+        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+        for j in range(len(idx)):
+            seg = cap[bounds[j] : bounds[j + 1]]
+            out[idx[j]] = to_signed(uncompact(seg, target)).tolist()
+    return pd.Series(out)
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
@@ -122,23 +144,16 @@ def radius_join(
     if resolution is not None:
         cap_radius = radius_m + 2.0 * estimate_cell_radius(resolution)
 
+    # Uncompacted cover at the query resolution -> broadcast HASH equi-join
+    # (the range-join alternative is a nested loop; at fleet scale the hash
+    # join's shuffle-free probe wins decisively).
     caps = queries.select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
-        F.explode(a5_spherical_cap(F.col(cell), F.lit(cap_radius))).alias("cap_cell"),
+        F.explode(a5_cap_cover(F.col(cell), F.lit(cap_radius))).alias(cell),
     )
-    from a5spark.functions.udfs import a5_get_resolution
-
-    caps = caps.withColumn("cap_res", a5_get_resolution(F.col("cap_cell")))
-    caps = caps.withColumn(
-        "__lo", native.cell_range_lo(F.col("cap_cell"), F.col("cap_res"))
-    ).withColumn("__hi", native.cell_range_hi(F.col("cap_cell"), F.col("cap_res")))
-    pts = points.withColumn("__pk", native.shifted_key(F.col(cell)))
-    joined = pts.join(
-        F.broadcast(caps.drop("cap_cell", "cap_res")),
-        (F.col("__pk") >= F.col("__lo")) & (F.col("__pk") <= F.col("__hi")),
-    ).drop("__pk", "__lo", "__hi")
+    joined = points.join(F.broadcast(caps), cell)
     joined = joined.withColumn(
         "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
     )

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from a5spark.functions import native
 from a5spark.operators.spatial import cover_join, multires_cover_join
 
 COVER_SCHEMA = StructType(
@@ -94,14 +95,29 @@ def point_in_polygon_join(
     points: DataFrame,
     cover: DataFrame,
     point_cell: str = "cell",
-    uncompacted: bool = False,
+    expand_to: int | None = None,
     broadcast: bool = True,
 ) -> DataFrame:
     """Join points (with a fine-resolution cell column) against polygon
-    covers. Compacted covers use the unsigned descendant-range join;
-    uncompacted single-resolution covers use a plain equi-join."""
-    if uncompacted:
-        return cover_join(points, cover.select("cell", "polygon_id"), point_cell, broadcast)
+    covers.
+
+    With `expand_to` (the points' resolution) the compacted cover is expanded
+    JVM-side to that resolution (native children sequences) and the join is a
+    broadcast HASH join — the scalable default. Without it, the compacted
+    cover joins via unsigned descendant-range predicates (nested-loop; fine
+    for small point sets)."""
+    if expand_to is not None:
+        from pyspark.sql import functions as _F
+
+        expanded = cover.select(
+            "polygon_id",
+            _F.explode(
+                native.cell_children(
+                    _F.col("cell"), _F.col("resolution"), expand_to
+                )
+            ).alias(point_cell),
+        )
+        return cover_join(points, expanded, point_cell, broadcast)
     return multires_cover_join(
         points, cover, "cell", "resolution", point_cell, broadcast
     )

@@ -112,6 +112,26 @@ def multires_cover_join(
     return joined.drop("__pk", "__lo", "__hi")
 
 
+def child_of_join(
+    points: DataFrame,
+    parents: DataFrame,
+    parent_resolution: int,
+    point_cell: str = "cell",
+    parent_cell: str = "parent",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Descendant join in scalable equi-form: rather than the theta-join
+    `is_child_of(cell, parent)` (which Spark executes as a nested-loop),
+    join on native cell_to_parent(cell, r) == parent — a hash join with
+    identical semantics for cells at resolution >= r."""
+    pts = points.withColumn(
+        "__pp", native.cell_to_parent(F.col(point_cell), parent_resolution)
+    )
+    par = parents.withColumnRenamed(parent_cell, "__pp")
+    par = F.broadcast(par) if broadcast else par
+    return pts.join(par, "__pp").withColumnRenamed("__pp", parent_cell)
+
+
 def salt_column(df: DataFrame, key: str, buckets: int, out: str = "__salt") -> DataFrame:
     """Deterministic salt for hot-key two-phase aggregation: groupBy(key, salt)
     partial-aggregate, then groupBy(key) final."""
