@@ -102,7 +102,7 @@ def knn_join(
     points:  (..., lon, lat, cell) — same resolution.
     Returns query columns + point columns + dist_m + rank (1..k).
     """
-    q = queries.select(
+    q = queries.repartition(64).select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
@@ -146,13 +146,23 @@ def radius_join(
 
     # Uncompacted cover at the query resolution -> broadcast HASH equi-join
     # (the range-join alternative is a nested loop; at fleet scale the hash
-    # join's shuffle-free probe wins decisively).
+    # join's shuffle-free probe wins decisively). Caps are computed once per
+    # DISTINCT query cell — co-located queries share the BFS.
+    cell_covers = (
+        queries.select(F.col(cell).alias("__qc"))
+        .distinct()
+        .repartition(64)  # spread the cap BFS across cores
+        .select(
+            F.col("__qc"),
+            F.explode(a5_cap_cover(F.col("__qc"), F.lit(cap_radius))).alias(cell),
+        )
+    )
     caps = queries.select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
-        F.explode(a5_cap_cover(F.col(cell), F.lit(cap_radius))).alias(cell),
-    )
+        F.col(cell).alias("__qc"),
+    ).join(cell_covers, "__qc").drop("__qc")
     joined = points.join(F.broadcast(caps), cell)
     joined = joined.withColumn(
         "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))

@@ -29,6 +29,24 @@ from pyspark.sql.types import (
 
 from a5spark.functions import native
 
+
+@F.pandas_udf(StringType())
+def _a5_boundary_json(cell: pd.Series) -> pd.Series:
+    """Batched cell boundary rings as JSON (georeference for tiles)."""
+    from a5spark.kernels.cell import cell_to_boundary
+    from a5spark.kernels.serialization import from_signed, get_resolution
+
+    cells = from_signed(cell.to_numpy(np.int64))
+    out = [None] * len(cells)
+    res = get_resolution(cells)
+    for r in np.unique(res):
+        idx = np.where(res == r)[0]
+        rings = cell_to_boundary(cells[idx])
+        for j, i in enumerate(idx):
+            out[i] = json.dumps(rings[j].tolist())
+    return pd.Series(out)
+
+
 TILE_SCHEMA = StructType(
     [
         StructField("cell", LongType()),
@@ -66,13 +84,9 @@ def tile_pyramid(
     (lon, lat, <fine_cell>) at a resolution >= max(resolutions)."""
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from a5spark.kernels.cell import cell_to_boundary
-        from a5spark.kernels.serialization import from_signed
-
         cell_signed = int(pdf["__tile_cell"].iloc[0])
         res = int(pdf["__tile_res"].iloc[0])
-        cells = from_signed(np.array([cell_signed], dtype=np.int64))
-        ring = cell_to_boundary(cells)[0]
+        ring = np.array(json.loads(pdf["__bounds"].iloc[0]))
         tile = render_tile(
             pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), ring, tile_px
         )
@@ -83,7 +97,7 @@ def tile_pyramid(
                 "n_images": [len(pdf)],
                 "tile_px": [tile_px],
                 "tile": [tile.tobytes()],
-                "bounds_json": [json.dumps(ring.tolist())],
+                "bounds_json": [pdf["__bounds"].iloc[0]],
             }
         )
 
@@ -92,7 +106,16 @@ def tile_pyramid(
         level = assigned.withColumn(
             "__tile_cell", native.cell_to_parent(F.col(fine_cell), res)
         ).withColumn("__tile_res", F.lit(res))
-        tiles = level.groupBy("__tile_cell").applyInPandas(render, TILE_SCHEMA)
+        # georeference every DISTINCT tile cell in one batched boundary pass,
+        # then broadcast the bounds to the render groups — the boundary kernel
+        # amortizes across the whole level instead of running once per group
+        bounds = (
+            level.select("__tile_cell")
+            .distinct()
+            .withColumn("__bounds", _a5_boundary_json(F.col("__tile_cell")))
+        )
+        staged = level.join(F.broadcast(bounds), "__tile_cell")
+        tiles = staged.groupBy("__tile_cell").applyInPandas(render, TILE_SCHEMA)
         out = tiles if out is None else out.unionByName(tiles)
     return out
 

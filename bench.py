@@ -54,6 +54,21 @@ def run_flagship_throughput(spark, sf_dir):
     return time.time() - t0, n_rows
 
 
+def run_scaling_throughput(spark, n_rows=4_000_000):
+    """Parallelism-scaling workload: encode + salted density over a generated
+    table large enough that fixed overheads do not dominate."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.spatial import assign_cells, salted_density
+    from a5spark.sources.images import synthesize_images
+
+    img = synthesize_images(spark, n_rows, with_bytes=False)
+    t0 = time.time()
+    df = assign_cells(img, 9)
+    salted_density(df, row_key="image_id").count()
+    return time.time() - t0, n_rows
+
+
 def main():
     from a5spark.session import get_spark
 
@@ -84,11 +99,14 @@ def main():
         for cpus in (8, 32):
             s = get_spark("a5spark-scaling", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus))
             s.sparkContext.setLogLevel("ERROR")
-            run_flagship_throughput(s, SF_DIR)  # warm
-            sec, rows = run_flagship_throughput(s, SF_DIR)
+            run_scaling_throughput(s, 500_000)  # warm
+            best = None
+            for _ in range(2):
+                sec, rows = run_scaling_throughput(s)
+                best = sec if best is None else min(best, sec)
             scaling[f"local[{cpus}]"] = {
-                "sec": round(sec, 3),
-                "throughput": round(rows / sec, 1),
+                "sec": round(best, 3),
+                "throughput": round(rows / best, 1),
             }
             s.stop()
         t8 = scaling["local[8]"]["throughput"]

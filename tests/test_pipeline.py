@@ -123,3 +123,25 @@ def test_cross_index_assignment(spark):
     exp_a5 = to_signed(lonlat_to_cell(lon, lat, 7))
     got_a5 = np.array([r["a5_cell"] for r in rows], dtype=np.int64)
     assert (exp_a5 == got_a5).all()
+
+
+def test_streaming_cell_density(tmp_path, spark):
+    import shutil as _sh
+
+    from a5spark.streaming.density import run_available_now, streaming_cell_density
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt_stream")
+    # stage the static events table as the stream source
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    events.write.mode("overwrite").parquet(src)
+    schema = events.schema
+
+    stream_df = streaming_cell_density(spark, src, schema, resolution=5)
+    run_available_now(stream_df, ckpt, "stream_density")
+    out = spark.sql("SELECT * FROM stream_density")
+    n = out.count()
+    assert n > 0
+    # totals must match the batch pipeline over the same data
+    total_stream = out.agg({"n_events": "sum"}).collect()[0][0]
+    assert total_stream == events.count()
