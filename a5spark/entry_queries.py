@@ -432,6 +432,115 @@ def oracle_lang_id():
     """
 
 
+def q_jaccard_verify(spark, sf_dir):
+    """Exact shingle-Jaccard verification of the LSH candidate pairs
+    (the dedup verify step: candidates -> exact similarity)."""
+    from a5spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, k=5)
+    pairs = lsh_candidate_pairs(minhash_bands(sig, band_size=4))
+    jac = jaccard_pairs(pairs, docs, k=5)
+    return jac.select(
+        "id_a", "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.round("jaccard", 9).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+def oracle_jaccard_verify():
+    return """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS shingle
+      FROM documents,
+           unnest(generate_series(1, greatest(1, length(text) - 4))) AS t(i)
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(CAST(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band_idx,
+             CAST(('0x' || substring(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15)) AS BIGINT) AS band_hash
+      FROM mh GROUP BY doc_id, seed // 4
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 9) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    ORDER BY i.id_a, i.id_b
+    """
+
+
+def q_event_sessions(spark, sf_dir):
+    """Event sessionization: per-user sessions split at 30-minute gaps,
+    session stats rollup (the relational window-function surface)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn("new_session", (gap.isNull() | (gap > 1800 * 1000000)).cast("int"))
+        .withColumn("session_idx", F.sum("new_session").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.sum("total_value"), 6).alias("value_sum"),
+        )
+        .orderBy("n_events")
+    )
+
+
+def oracle_event_sessions():
+    return """
+    WITH gaps AS (
+      SELECT user_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session, ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(sum(total_value), 6) AS value_sum
+    FROM per_session GROUP BY n_events ORDER BY n_events
+    """
+
+
 def q_ann_quantized(spark, sf_dir):
     """Int-quantized brute-force top-5 similarity search: every 10th vector
     queries the full embeddings table (engine-exact integer dot products)."""
@@ -659,6 +768,8 @@ QUERIES = {
     "cell_density_r7": q_cell_density_r7,
     "multires_rollup": q_multires_rollup,
     "dedup_exact": q_dedup_exact,
+    "jaccard_verify": q_jaccard_verify,
+    "event_sessions": q_event_sessions,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "text_profile": q_text_profile,
@@ -682,6 +793,8 @@ ORACLES = {
     "hier_child_join": oracle_hier_child_join(),
     "images_derivation": oracle_images_derivation(),
     "dedup_exact": oracle_dedup_exact(),
+    "jaccard_verify": oracle_jaccard_verify(),
+    "event_sessions": oracle_event_sessions(),
     "minhash_lsh": oracle_minhash_lsh(),
     "simhash": oracle_simhash(),
     "text_profile": oracle_text_profile(),
