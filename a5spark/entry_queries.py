@@ -495,7 +495,9 @@ def q_event_sessions(spark, sf_dir):
     session stats rollup (the relational window-function surface)."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     sess = (
