@@ -254,7 +254,7 @@ def q_multires_rollup(spark, sf_dir):
     """Multi-resolution density pyramid: encode once at res 9, roll up to
     res 5 JVM-side, count per (resolution, cell). No oracle (encode)."""
     img = images_from_sf_dir(spark, sf_dir)
-    df = spatial.assign_cells_multi(img, [5, 7, 9])
+    df = spatial.assign_cells_multi(img, [5, 7, 9]).persist()
     out = None
     for r in (5, 7, 9):
         level = df.groupBy(F.col(f"cell_r{r}").alias("cell")).agg(
@@ -613,7 +613,7 @@ def q_radius_join(spark, sf_dir):
     from a5spark.operators.knn import radius_join
     from a5spark.operators.spatial import assign_cells
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 7)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 7).persist()
     queries = img.filter(F.col("k") % 100 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
@@ -657,7 +657,7 @@ def q_knn_images(spark, sf_dir):
     from a5spark.operators.knn import knn_join
     from a5spark.operators.spatial import assign_cells
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5).persist()
     queries = img.filter(F.col("k") % 200 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
@@ -709,7 +709,7 @@ def q_pip_join(spark, sf_dir):
         ["polygon_id", "rings_json"],
     )
     cover = polyfill_cover(pdf, resolution=6)
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 9)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 9).persist()
     joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
     refined = pip_refine(joined, pdf)
     return refined.groupBy("polygon_id").agg(
@@ -754,7 +754,7 @@ def q_tile_pyramid(spark, sf_dir):
     from a5spark.operators.spatial import assign_cells
     from a5spark.operators.tiles import tile_pyramid
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 8)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 8).persist()
     tiles = tile_pyramid(img, [4, 5], fine_cell="cell", tile_px=32)
     return tiles.select(
         "cell", "resolution", "n_images", "tile_px", F.length("tile").alias("tile_bytes")
