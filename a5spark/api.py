@@ -11,6 +11,7 @@ batch-native form Spark UDFs use). A reference user can switch imports:
 
 import numpy as np
 
+from a5spark.kernels.constants import MAX_RESOLUTION, WORLD_CELL  # noqa: F401
 from a5spark.kernels import cell as _cell
 from a5spark.kernels import cell_info as _info
 from a5spark.kernels import compact as _compact
@@ -154,5 +155,5 @@ __all__ = [
     "get_num_children", "cell_area", "cell_edge_length_avg", "compact",
     "uncompact", "get_cell_neighbors", "grid_disk", "grid_disk_vertex",
     "spherical_cap", "line_string_to_cells", "polygon_to_cells",
-    "hex_to_u64", "u64_to_hex",
+    "hex_to_u64", "u64_to_hex", "MAX_RESOLUTION", "WORLD_CELL",
 ]
