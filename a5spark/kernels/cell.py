@@ -110,6 +110,25 @@ def _estimate_pentagon_margin(spherical_cart, origin_id, quintant, orientation, 
     return polygon_contains(verts, face)
 
 
+def _signed_min_margin_for_keys(cart, keys):
+    """Signed minimum edge margin (see _signed_min_margin) of each point in
+    the cell its KEY denotes after deserialization — used to classify res-30
+    fallback keys against the res-29 pentagon they actually encode."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    origin_id, segment, S, resolution = deserialize(keys)
+    quintant, orientation = segment_to_quintant(segment, origin_id)
+    face = dodec_forward(cart, origin_id)
+    out = np.full(keys.shape[0], -np.inf)
+    for res in np.unique(resolution):
+        m = resolution == res
+        hres = int(res) - FIRST_HILBERT_RESOLUTION + 1
+        x, y, z, flavor = s_to_cell(S[m], hres, orientation[m])
+        out[m] = _signed_min_margin(
+            face[m], hres, quintant[m], x, y, flavor
+        )
+    return out
+
+
 def _margin_for_keys(cart, keys):
     """Reference-faithful containment margin of each point in the cell its
     KEY denotes (deserialize -> that resolution's pentagon). This matters at
@@ -195,9 +214,13 @@ def _signed_min_margin(face, hres, quintant, x, y, flavor):
 
 
 def _noise_floor(hres: int) -> float:
-    """Knife-edge threshold: face-coordinate double noise (~1e-16 abs)
-    amplified by the cell scale 2^hres, with safety headroom."""
-    return (2.0 ** hres) * 1e-13
+    """Knife-edge threshold on the signed face-unit margin. The numpy and
+    libm (math.*) projection chains agree to ~2e-16 in face coordinates
+    (measured over 20k points), so margins beyond 1e-13 classify identically
+    under both; rows inside the band (exact-edge ties, where the reference's
+    answer depends on its literal search order) route to the scalar-exact
+    encoder. Constant in face units — margins are face-unit quantities."""
+    return 1e-13
 
 
 def _origin_order_spherical(theta, phi):
@@ -249,8 +272,9 @@ def _locate_in_face(face, origin_id, resolution: int, quintant_override):
     amin = _signed_min_margin(face, hres, quintant, x, y, flavor)
     knife = np.abs(amin) <= thr
     ok = amin > thr
+    est_ok = ok.copy()
     if (ok | knife).all():
-        return keys, quintant, orientation, S, ok, knife
+        return keys, quintant, orientation, S, ok, knife, est_ok
 
     rs = np.where(~ok & ~knife)[0]
     nx = x[rs, None] + NEIGHBOR_DELTAS[flavor[rs]][:, :, 0]
@@ -296,7 +320,7 @@ def _locate_in_face(face, origin_id, resolution: int, quintant_override):
         keys[rr] = serialize(origin_id[rr], segment[rr], S2, resolution)
         ok = ok.copy()
         ok[rr] = True
-    return keys, quintant, orientation, S, ok, knife
+    return keys, quintant, orientation, S, ok, knife, est_ok
 def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
     """Batch encoder. `lonlat` optionally carries the original geodetic
     inputs so the scalar-exact fallback reproduces the reference's full
@@ -323,9 +347,25 @@ def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
     # mirrors the reference bit-for-bit. ---
     hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
 
-    k0, q0, o0, S0, solved, knife = _locate_in_face(face, origin_id, resolution, None)
+    k0, q0, o0, S0, solved, knife, est_ok = _locate_in_face(
+        face, origin_id, resolution, None
+    )
     keys = k0
     unresolved = np.where(~solved & ~knife)[0]
+
+    if resolution == MAX_RESOLUTION:
+        # Fallback quintants (>= 42) serialize sibling res-30 cells onto one
+        # res-29 key, and the reference DEDUPES candidates by key — so when
+        # its first estimate misses, the true container's key is permanently
+        # skipped and the answer depends on the literal search order. Rows
+        # whose key fell back AND whose first estimate missed must therefore
+        # replicate that order exactly (scalar path).
+        from .serialization import get_resolution as _getres
+
+        fell_back = _getres(keys) != MAX_RESOLUTION
+        quirky = fell_back & ~est_ok
+        knife = knife | quirky
+        unresolved = np.where(~solved & ~knife)[0]
 
     # adjacent quintants (same origin)
     for dq in (1, 4):
@@ -333,7 +373,7 @@ def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
             break
         sub = unresolved
         qq = (q0[sub] + dq) % 5
-        k2, q2, o2, S2, s2, kn2 = _locate_in_face(
+        k2, q2, o2, S2, s2, kn2, _eo2 = _locate_in_face(
             face[sub], origin_id[sub], resolution, qq
         )
         hit = s2 & ~kn2
@@ -348,25 +388,11 @@ def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
         sub = unresolved
         oid2 = _origin_order_spherical(theta[sub], phi[sub])[:, rank]
         face2 = dodec_forward(cart[sub], oid2)
-        k2, q2, o2, S2, s2, kn2 = _locate_in_face(face2, oid2, resolution, None)
+        k2, q2, o2, S2, s2, kn2, _eo2 = _locate_in_face(face2, oid2, resolution, None)
         hit = s2 & ~kn2
         keys[sub[hit]] = k2[hit]
         knife[sub[kn2]] = True
         unresolved = sub[~hit & ~kn2]
-
-    if resolution == MAX_RESOLUTION:
-        # Out-of-bounds quintants serialize as res-29 cells and the reference
-        # verifies against the RES-29 pentagon (children do not nest exactly),
-        # so fast-path results whose key fell back re-verify at res 29; any
-        # ambiguity goes scalar.
-        solved_rows = np.setdiff1d(
-            np.setdiff1d(np.arange(N), unresolved), np.where(knife)[0]
-        )
-        from .serialization import get_resolution as _getres
-
-        fell_back = solved_rows[_getres(keys[solved_rows]) != MAX_RESOLUTION]
-        if fell_back.size:
-            knife[fell_back] = True
 
     # --- scalar-exact fallback (reference-order search with math.* libm) ---
     resid = np.union1d(unresolved, np.where(knife)[0])
