@@ -16,7 +16,7 @@ from .neighbors import cell_neighbors_batch
 from .projections import dodec_forward
 from .serialization import deserialize
 from .transforms import from_lonlat, to_cartesian, to_lonlat, to_spherical
-from .traversal import estimate_cell_radius
+from .traversal import _pair_isin_fast as _pair_isin, _pair_unique, estimate_cell_radius
 
 
 def _segments_intersect(p1, p2, p3, p4):
@@ -36,12 +36,14 @@ def _segments_intersect(p1, p2, p3, p4):
 def _cells_intersect_segment(cells, a_lonlat, b_lonlat):
     """For each cell, does the (short) segment a->b cross its pentagon?
     Projects both endpoints into every candidate cell's Face plane
-    (cell.py:329-346)."""
+    (cell.py:329-346). Endpoints may be one pair or per-row arrays."""
     cells = np.asarray(cells, dtype=np.uint64)
     n = cells.shape[0]
     origin_id = deserialize(cells)[0]
-    th_a, ph_a = from_lonlat(np.full(n, a_lonlat[0]), np.full(n, a_lonlat[1]))
-    th_b, ph_b = from_lonlat(np.full(n, b_lonlat[0]), np.full(n, b_lonlat[1]))
+    a_lonlat = np.broadcast_to(np.asarray(a_lonlat, dtype=np.float64), (n, 2))
+    b_lonlat = np.broadcast_to(np.asarray(b_lonlat, dtype=np.float64), (n, 2))
+    th_a, ph_a = from_lonlat(a_lonlat[:, 0], a_lonlat[:, 1])
+    th_b, ph_b = from_lonlat(b_lonlat[:, 0], b_lonlat[:, 1])
     a_face = dodec_forward(to_cartesian(th_a, ph_a), origin_id)
     b_face = dodec_forward(to_cartesian(th_b, ph_b), origin_id)
     verts, _ = _pentagon_for_cells(cells)
@@ -75,7 +77,10 @@ def line_string_to_cells(waypoints, resolution: int) -> np.ndarray:
             seen.add(cell_int)
             result.append(cell_int)
 
+    # --- build every sub-segment of the whole polyline (vectorized slerp) ---
     interval = estimate_cell_radius(resolution) * 0.5
+    seg_a = []  # per sub-segment endpoints (lon, lat)
+    seg_b = []
     for i in range(len(waypoints) - 1):
         start, end = waypoints[i], waypoints[i + 1]
         th, ph = from_lonlat(
@@ -99,36 +104,55 @@ def line_string_to_cells(waypoints, resolution: int) -> np.ndarray:
                 )
             ith, iph = to_spherical(pts)
             ilon, ilat = to_lonlat(ith, iph)
-            samples = (
-                [start] + list(zip(ilon.tolist(), ilat.tolist())) + [end]
-            )
+            samples = [start] + list(zip(ilon.tolist(), ilat.tolist())) + [end]
         else:
             samples = [start, end]
-        lons = np.array([s[0] for s in samples])
-        lats = np.array([s[1] for s in samples])
-        sample_cells = lonlat_to_cell(lons, lats, resolution)
-
         for j in range(len(samples) - 1):
-            a, b = samples[j], samples[j + 1]
-            ca, cb = int(sample_cells[j]), int(sample_cells[j + 1])
-            add(ca)
-            add(cb)
-            if ca == cb:
-                continue
-            visited = {ca, cb}
-            frontier = np.array([ca, cb], dtype=np.uint64)
-            while frontier.size:
-                rows, nbrs = cell_neighbors_batch(frontier, edge_only=False, lattice=True)
-                cand = np.unique(nbrs)
-                cand = np.array(
-                    [c for c in cand.tolist() if c not in visited], dtype=np.uint64
-                )
-                visited.update(cand.tolist())
-                if cand.size == 0:
-                    break
-                hit = _cells_intersect_segment(cand, a, b)
-                keep = cand[hit]
-                for c in keep.tolist():
-                    add(int(c))
-                frontier = keep
+            seg_a.append(samples[j])
+            seg_b.append(samples[j + 1])
+
+    seg_a = np.asarray(seg_a, dtype=np.float64)
+    seg_b = np.asarray(seg_b, dtype=np.float64)
+    n_segs = seg_a.shape[0]
+    ca = lonlat_to_cell(seg_a[:, 0], seg_a[:, 1], resolution)
+    cb = lonlat_to_cell(seg_b[:, 0], seg_b[:, 1], resolution)
+
+    # --- one batched BFS across ALL sub-segments: state is (seg, cell) ---
+    active = ca != cb
+    fr_seg = np.concatenate([np.where(active)[0], np.where(active)[0]])
+    fr_cell = np.concatenate([ca[active], cb[active]])
+    fr_seg, fr_cell = _pair_unique(fr_seg, fr_cell)
+    vis_seg, vis_cell = fr_seg.copy(), fr_cell.copy()
+    kept_layers = []  # (layer, seg, cell) pairs in layer-sorted order
+
+    layer = 0
+    while fr_cell.size:
+        idx, nbr = cell_neighbors_batch(fr_cell, edge_only=False, lattice=True)
+        nseg = fr_seg[idx]
+        nseg, nbr = _pair_unique(nseg, nbr)
+        fresh = ~_pair_isin(nseg, nbr, vis_seg, vis_cell)
+        nseg, nbr = nseg[fresh], nbr[fresh]
+        vis_seg, vis_cell = _pair_unique(
+            np.concatenate([vis_seg, nseg]), np.concatenate([vis_cell, nbr])
+        )
+        if nbr.size == 0:
+            break
+        hit = _cells_intersect_segment(nbr, seg_a[nseg], seg_b[nseg])
+        kseg, kcell = nseg[hit], nbr[hit]
+        if kcell.size:
+            kept_layers.append((layer, kseg, kcell))
+        fr_seg, fr_cell = kseg, kcell
+        layer += 1
+
+    # --- emit in the sequential order the per-segment walk produces ---
+    per_seg_layers = {}
+    for lay, kseg, kcell in kept_layers:
+        for ss in np.unique(kseg):
+            per_seg_layers.setdefault(int(ss), []).append(kcell[kseg == ss])
+    for j in range(n_segs):
+        add(int(ca[j]))
+        add(int(cb[j]))
+        for cells_in_layer in per_seg_layers.get(j, []):
+            for c in cells_in_layer.tolist():
+                add(int(c))
     return np.array(result, dtype=np.uint64)
