@@ -188,6 +188,55 @@ def oracle_hier_child_join():
     """
 
 
+def q_hex_roundtrip(spark, sf_dir):
+    """Hex-keyed ingestion: synthetic cells over the FULL quintant range
+    (0..59 — half have bit 63 set) -> cell_to_hex -> hex_to_cell decode,
+    verifying the native u64 hex codec round-trips sign-bit cells
+    (reference a5/core/hex.py:5-10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    q = (k % 60).cast("long")
+    s = ((k % 65536) * 7919).cast("long") % 65536
+    cell = (
+        native._shl(q, F.lit(58))
+        .bitwiseOR(native._shl(s, F.lit(42)))
+        .bitwiseOR(native._shl(F.lit(1), F.lit(41)))
+    )
+    df = li.select(cell.alias("cell"), (q >= 32).alias("sign_bit"))
+    df = df.withColumn("decoded", native.hex_to_cell(native.cell_to_hex(F.col("cell"))))
+    return (
+        df.groupBy("sign_bit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("decoded") == F.col("cell")).cast("long")).alias("n_ok"),
+            F.min("decoded").alias("min_cell"),
+            F.max("decoded").alias("max_cell"),
+        )
+        .orderBy("sign_bit")
+    )
+
+
+def oracle_hex_roundtrip():
+    return """
+    WITH cells AS (
+      SELECT (l_orderkey % 60) >= 32 AS sign_bit,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS cell
+      FROM (
+        SELECT l_orderkey,
+               (l_orderkey % 60)::HUGEINT * 288230376151711744::HUGEINT
+               + (((l_orderkey % 65536) * 7919) % 65536)::HUGEINT * 4398046511104::HUGEINT
+               + 2199023255552::HUGEINT AS u
+        FROM lineitem
+      )
+    )
+    SELECT sign_bit, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_ok,
+           min(cell) AS min_cell, max(cell) AS max_cell
+    FROM cells GROUP BY sign_bit ORDER BY sign_bit
+    """
+
+
 def q_images_derivation(spark, sf_dir):
     """The deterministic image+caption synthesis chain (w/h/caption/phash and
     lon) grouped by caption — validates the images source end-to-end."""
@@ -766,6 +815,7 @@ QUERIES = {
     "hier_resolution": q_hier_resolution,
     "hier_children": q_hier_children,
     "hier_child_join": q_hier_child_join,
+    "hex_roundtrip": q_hex_roundtrip,
     "images_derivation": q_images_derivation,
     "cell_density_r7": q_cell_density_r7,
     "multires_rollup": q_multires_rollup,
@@ -793,6 +843,7 @@ ORACLES = {
     "hier_resolution": oracle_hier_resolution(),
     "hier_children": oracle_hier_children(),
     "hier_child_join": oracle_hier_child_join(),
+    "hex_roundtrip": oracle_hex_roundtrip(),
     "images_derivation": oracle_images_derivation(),
     "dedup_exact": oracle_dedup_exact(),
     "jaccard_verify": oracle_jaccard_verify(),

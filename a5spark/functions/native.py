@@ -123,6 +123,13 @@ def cell_to_hex(cell: Column) -> Column:
 
 
 def hex_to_cell(s: Column) -> Column:
-    """Hex string -> cell id (int64 bit pattern). F.conv returns the u64
-    value as a string; cast through decimal to wrap into int64."""
-    return F.conv(_lit(s), 16, 10).cast("decimal(20,0)").cast("long")
+    """Hex string -> cell id (int64 bit pattern of the u64 value).
+
+    F.conv returns the u64 value as a decimal string; for cells with bit 63
+    set (quintant >= 32) that exceeds int64 and a bare cast raises
+    CAST_OVERFLOW under ANSI mode, so wrap explicitly in decimal arithmetic
+    (u - 2^64 when u >= 2^63) before the final cast."""
+    d = F.conv(_lit(s), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(d >= two63, d - two64).otherwise(d).cast("long")

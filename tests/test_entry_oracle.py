@@ -85,6 +85,38 @@ def test_all_queries_run_and_oracles_match(spark, duck):
     assert not failures, "\n".join(failures)
 
 
+def test_native_hex_roundtrip_sign_bit_cells(spark):
+    """hex codec must round-trip cells with bit 63 set (quintant >= 32 —
+    half of all real cells) and res-30 ids; regression for the decimal-cast
+    CAST_OVERFLOW bug in native.hex_to_cell."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from a5spark import api
+    from a5spark.functions import native
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+
+    # southern-hemisphere points land in high quintants; include res 30
+    lons = np.array([10.0, -60.0, 140.0, -170.0, 30.0, 100.0])
+    lats = np.array([-80.0, -45.0, -33.0, -60.0, -5.0, -89.9])
+    cells = []
+    for res in (5, 9, 15, 29, 30):
+        cells.extend(to_signed(lonlat_to_cell(lons, lats, res)).tolist())
+    assert any(c < 0 for c in cells), "test set must include sign-bit cells"
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"])
+    out = df.select(
+        "cell",
+        native.cell_to_hex(F.col("cell")).alias("hx"),
+        native.hex_to_cell(native.cell_to_hex(F.col("cell"))).alias("decoded"),
+    ).collect()
+    for r in out:
+        assert r.decoded == r.cell, f"roundtrip failed for {r.hx}"
+        u64 = r.cell if r.cell >= 0 else r.cell + (1 << 64)
+        assert r.hx == api.u64_to_hex(u64)
+        assert api.hex_to_u64(r.hx) == u64
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
