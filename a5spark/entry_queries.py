@@ -659,10 +659,11 @@ def q_radius_join(spark, sf_dir):
     """Spatial radius join: every 100th image queries for all images within
     300 km (A5 cap cover + range join + exact haversine). Oracle: brute-force
     haversine cross join."""
+    from a5spark import cache
     from a5spark.operators.knn import radius_join
     from a5spark.operators.spatial import assign_cells
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 7).persist()
+    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
     queries = img.filter(F.col("k") % 100 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
@@ -701,20 +702,55 @@ def oracle_radius_join():
 
 
 def q_knn_images(spark, sf_dir):
-    """A5 grid-disk kNN join: 5 nearest images for every 200th image
-    (rows-only check; completeness depends on k_ring vs local density)."""
+    """Exact A5 cap-cover kNN join: 5 nearest images for every 200th image,
+    iterative radius growth with per-round completeness guarantee. Oracle:
+    brute-force haversine row_number ranking (ties by image_id)."""
+    from a5spark import cache
     from a5spark.operators.knn import knn_join
     from a5spark.operators.spatial import assign_cells
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5).persist()
+    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 5))
     queries = img.filter(F.col("k") % 200 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
     pts = img.select("image_id", "lon", "lat", "cell")
-    out = knn_join(queries, pts, k=5, k_ring=2)
+    out = knn_join(queries, pts, k=5, resolution=5, point_id="image_id")
     return out.select(
         "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")
     ).orderBy("query_id", "rank")
+
+
+def oracle_knn_images():
+    img_cte = """
+      SELECT printf('img_%012d', o_orderkey) AS image_id,
+             ((o_orderkey % 1048576) * 9973 + 12345) % 360000 / 1000.0 - 180.0 AS lon,
+             degrees(asin(((o_orderkey % 1048576) * 104729 + 54321) % 2000001 / 1000000.0 - 1.0)) AS lat,
+             o_orderkey AS k
+      FROM orders
+    """
+    return f"""
+    WITH img AS ({img_cte}),
+    q AS (SELECT image_id AS query_id, lon AS q_lon, lat AS q_lat FROM img WHERE k % 200 = 0),
+    scored AS (
+      SELECT query_id, image_id,
+             2 * 6371007.2 * asin(sqrt(
+               sin(radians(lat - q_lat) / 2) * sin(radians(lat - q_lat) / 2)
+               + cos(radians(q_lat)) * cos(radians(lat))
+                 * sin(radians(lon - q_lon) / 2) * sin(radians(lon - q_lon) / 2)
+             )) AS dist_m,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY 2 * 6371007.2 * asin(sqrt(
+                 sin(radians(lat - q_lat) / 2) * sin(radians(lat - q_lat) / 2)
+                 + cos(radians(q_lat)) * cos(radians(lat))
+                   * sin(radians(lon - q_lon) / 2) * sin(radians(lon - q_lon) / 2)
+               )) ASC, image_id ASC
+             ) AS rank
+      FROM q, img
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, image_id, round(dist_m, 3) AS dist_m
+    FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+    """
 
 
 def q_polyfill_cover(spark, sf_dir):
@@ -854,4 +890,5 @@ ORACLES = {
     "lang_id": oracle_lang_id(),
     "ann_quantized": oracle_ann_quantized(),
     "radius_join": oracle_radius_join(),
+    "knn_images": oracle_knn_images(),
 }

@@ -1,22 +1,25 @@
-"""k-nearest-neighbor join via grid-disk candidate expansion.
+"""k-nearest-neighbor and radius joins via A5 cap-cover candidate expansion.
 
-The A5 analogue of the classic cell-grid kNN join (reference grid-disk
-semantics, traversal/grid_disk.py:51-70):
+Both joins share one candidate generator (`_cap_candidates`): each query
+cell's spherical-cap cover (reference traversal/cap.py:66-129) is computed at
+a coarse cover resolution chosen from the cap radius, uncompacted, and
+equi-joined against the point table through a JVM-side parent expression —
+never a theta/range join, so Catalyst plans hash joins throughout.
 
-  1. queries expand to their k-ring disks (Arrow-batched BFS kernel) —
-     candidate cell sets whose radius covers the k nearest neighbors for
-     locally-uniform densities;
-  2. equi-join candidates against the point table's cell column (shuffle
-     hash join keyed by the int64 cell; the query side is usually the small
-     side -> broadcast);
-  3. exact haversine refinement JVM-side;
-  4. per-query top-k with a row_number window.
-
-Scale notes: the expansion factor is |disk| ~ 3k^2, so the shuffle volume is
-bounded and explicit; hot query cells are spread by the disk explode itself.
-For guaranteed-k results the caller grows `k_ring` and re-runs the residual
-queries (standard iterative expansion).
+Scale design (100 TB):
+  * the cover relation is (distinct query parent cell) x (cap cells) — it is
+    NOT broadcast explicitly; AQE picks broadcast-hash when it fits and falls
+    back to a shuffle hash join when the query fleet is huge;
+  * the cover resolution adapts to the radius (bounded cells-per-cap), so a
+    continent-sized radius costs a few hundred coarse cells, not millions of
+    fine ones;
+  * `knn_join` is exact: it iterates cap radii (geometric growth, final round
+    covers the sphere) and a query is only emitted once >= k candidates lie
+    within the round's PROVEN-complete radius — the reference's grid-disk
+    guarantee model (traversal/grid_disk.py:51-70) made distributed.
 """
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -24,7 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from a5spark import cache
+from a5spark.functions import native
 from a5spark.functions.udfs import haversine_m
+
+# half the sphere's great-circle circumference: a cap of this radius covers
+# every cell, making the final kNN round complete by construction
+_EARTH_COVER_M = math.pi * 6371007.2
 
 
 @F.pandas_udf(ArrayType(LongType()))
@@ -49,75 +58,109 @@ def a5_grid_disk(cell: pd.Series, k: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(LongType()))
 def a5_spherical_cap(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
     """Cells within a great-circle radius of each cell's center (compacted)."""
-    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.kernels.serialization import from_signed, get_resolution, to_signed
     from a5spark.kernels.traversal import spherical_cap_batch
 
     cells = from_signed(cell.to_numpy(np.int64))
+    res = get_resolution(cells)
     rv = radius_m.to_numpy(np.float64)
     out = [None] * len(cells)
     for r in np.unique(rv):
-        idx = np.where(rv == r)[0]
-        rows, cap = spherical_cap_batch(cells[idx], float(r))
-        signed = to_signed(cap)
-        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
-        for j in range(len(idx)):
-            out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
+        for rr in np.unique(res[rv == r]):
+            idx = np.where((rv == r) & (res == rr))[0]
+            rows, cap = spherical_cap_batch(cells[idx], float(r))
+            signed = to_signed(cap)
+            bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+            for j in range(len(idx)):
+                out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
     return pd.Series(out)
 
 
 @F.pandas_udf(ArrayType(LongType()))
 def a5_cap_cover(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
-    """Uncompacted cap cover at the input cells' own resolution — the
-    equi-join expansion form (cap -> uncompact)."""
+    """Uncompacted cap cover at each input cell's OWN resolution — the
+    equi-join expansion form (cap -> uncompact). Mixed-resolution batches
+    group by (radius, resolution) so every row uncompacts to its own level."""
     from a5spark.kernels.compact import uncompact
     from a5spark.kernels.serialization import from_signed, get_resolution, to_signed
     from a5spark.kernels.traversal import spherical_cap_batch
 
     cells = from_signed(cell.to_numpy(np.int64))
+    res = get_resolution(cells)
     rv = radius_m.to_numpy(np.float64)
     out = [None] * len(cells)
-    target = int(get_resolution(cells[:1])[0]) if len(cells) else 0
     for r in np.unique(rv):
-        idx = np.where(rv == r)[0]
-        rows, cap = spherical_cap_batch(cells[idx], float(r))
-        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
-        for j in range(len(idx)):
-            seg = cap[bounds[j] : bounds[j + 1]]
-            out[idx[j]] = to_signed(uncompact(seg, target)).tolist()
+        for rr in np.unique(res[rv == r]):
+            idx = np.where((rv == r) & (res == rr))[0]
+            rows, cap = spherical_cap_batch(cells[idx], float(r))
+            bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+            for j in range(len(idx)):
+                seg = cap[bounds[j] : bounds[j + 1]]
+                out[idx[j]] = to_signed(uncompact(seg, int(rr))).tolist()
     return pd.Series(out)
 
 
-def knn_join(
+def pick_cover_resolution(radius_m: float, index_resolution: int, max_cells: int = 512) -> int:
+    """Coarsest resolution in [2, index_resolution] whose cells keep the
+    expected cap cover under `max_cells` — bounds cover size for any radius."""
+    from a5spark.kernels.cell_info import cell_area
+    from a5spark.kernels.constants import AUTHALIC_RADIUS_EARTH
+
+    cap_area = (
+        2.0 * math.pi * AUTHALIC_RADIUS_EARTH**2
+        * (1.0 - math.cos(min(radius_m, _EARTH_COVER_M) / AUTHALIC_RADIUS_EARTH))
+    )
+    for res in range(2, index_resolution + 1):
+        if cap_area / float(cell_area(res)) > max_cells:
+            return max(2, res - 1) if res > 2 else 2
+    return index_resolution
+
+
+def _cap_candidates(
     queries: DataFrame,
     points: DataFrame,
-    k: int,
-    k_ring: int = 2,
-    query_id: str = "query_id",
-    cell: str = "cell",
-    broadcast_queries: bool = True,
+    cap_radius: float,
+    resolution: int,
+    cov_res: int,
+    query_id: str,
+    cell: str,
 ) -> DataFrame:
-    """Top-k nearest points for each query row.
+    """Point rows joined to every query whose cap (radius `cap_radius`,
+    centered on the query cell's cov_res parent center) covers the point's
+    cov_res parent cell. Two hash joins, both AQE-planned:
+      points x covers (on the cover cell)  — covers is small, usually BHJ;
+      candidates x queries (on the query parent) — queries are the small side.
 
-    queries: (query_id, lon, lat, cell) — cell at the index resolution.
-    points:  (..., lon, lat, cell) — same resolution.
-    Returns query columns + point columns + dist_m + rank (1..k).
+    `queries` must carry (query_id, q_lon, q_lat, <cell>).
     """
-    q = queries.repartition(64).select(
+    spark = queries.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def parent_at(col):
+        if cov_res == resolution:
+            return col
+        return native.cell_to_parent(col, cov_res)
+
+    q = queries.select(
         F.col(query_id),
-        F.col("lon").alias("q_lon"),
-        F.col("lat").alias("q_lat"),
-        F.explode(a5_grid_disk(F.col(cell), F.lit(k_ring))).alias(cell),
+        F.col("q_lon"),
+        F.col("q_lat"),
+        parent_at(F.col(cell)).alias("__qp"),
     )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    cand = q.join(points, cell, "inner")
-    cand = cand.withColumn(
-        "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    covers = (
+        q.select("__qp")
+        .distinct()
+        .repartition(par)  # spread the cap BFS across cores
+        .select(
+            "__qp",
+            F.explode(a5_cap_cover(F.col("__qp"), F.lit(float(cap_radius)))).alias("__cov"),
+        )
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("dist_m"))
+    pts = points.withColumn("__cov", parent_at(F.col(cell)))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        pts.join(covers, "__cov")
+        .join(q, "__qp")
+        .drop("__cov", "__qp")
     )
 
 
@@ -128,43 +171,114 @@ def radius_join(
     query_id: str = "query_id",
     cell: str = "cell",
     resolution: int | None = None,
+    cover_resolution: int | None = None,
 ) -> DataFrame:
-    """All points within radius_m of each query: compacted-cap expansion +
-    descendant-range join + exact haversine filter.
+    """All points within radius_m of each query point, exactly.
 
-    Completeness: the cap is centered on the query CELL center and keeps cells
-    by THEIR center, so the cover radius is expanded by twice the conservative
-    cell circumradius (query-point offset + candidate-cell extent) — every
-    point within radius_m of the query point is guaranteed to be in a covered
-    cell; the final haversine filter is exact."""
-    from a5spark.functions import native
+    Completeness accounting: the cap is centered on the query cell's cov_res
+    PARENT center and keeps cov_res cells by THEIR center, so the cover radius
+    expands by (query-point offset within its cell) + (query cell center to
+    parent center) + (candidate point to its cov_res cell center) =
+    r_cell(resolution) + 2 * r_cell(cov_res); the final haversine is exact."""
     from a5spark.kernels.traversal import estimate_cell_radius
 
-    cap_radius = radius_m
-    if resolution is not None:
-        cap_radius = radius_m + 2.0 * estimate_cell_radius(resolution)
-
-    # Uncompacted cover at the query resolution -> broadcast HASH equi-join
-    # (the range-join alternative is a nested loop; at fleet scale the hash
-    # join's shuffle-free probe wins decisively). Caps are computed once per
-    # DISTINCT query cell — co-located queries share the BFS.
-    cell_covers = (
-        queries.select(F.col(cell).alias("__qc"))
-        .distinct()
-        .repartition(64)  # spread the cap BFS across cores
-        .select(
-            F.col("__qc"),
-            F.explode(a5_cap_cover(F.col("__qc"), F.lit(cap_radius))).alias(cell),
-        )
+    if resolution is None:
+        raise ValueError("radius_join requires the index resolution")
+    cov_res = cover_resolution or pick_cover_resolution(radius_m, resolution)
+    cap_radius = (
+        radius_m
+        + estimate_cell_radius(resolution)
+        + 2.0 * estimate_cell_radius(cov_res)
     )
-    caps = queries.select(
+    q = queries.select(
         F.col(query_id),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
-        F.col(cell).alias("__qc"),
-    ).join(cell_covers, "__qc").drop("__qc")
-    joined = points.join(F.broadcast(caps), cell)
-    joined = joined.withColumn(
+        F.col(cell),
+    )
+    cand = _cap_candidates(q, points, cap_radius, resolution, cov_res, query_id, cell)
+    cand = cand.withColumn(
         "dist_m", haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
     )
-    return joined.filter(F.col("dist_m") <= radius_m)
+    return cand.filter(F.col("dist_m") <= radius_m)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    resolution: int | None = None,
+    point_id: str = "image_id",
+    query_id: str = "query_id",
+    cell: str = "cell",
+    initial_radius: float | None = None,
+    growth: float = 4.0,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact top-k nearest points for each query row.
+
+    queries: (query_id, lon, lat, cell) — cell at the index resolution.
+    points:  (..., point_id, lon, lat, cell) — same resolution.
+    Returns query columns + point columns + dist_m + rank (1..k), ties broken
+    by point_id ascending (deterministic, oracle-comparable).
+
+    Guarantee model: a round with cap radius r produces, for every query, ALL
+    points within r (same accounting as radius_join); a query is emitted only
+    when >= k candidates lie within r — its top-k is then provably exact. The
+    residual queries re-run with radius r * growth; the last scheduled radius
+    covers the sphere, so every query terminates with the true top-k (or all
+    points, if the table holds fewer than k)."""
+    from a5spark.kernels.traversal import estimate_cell_radius
+
+    if resolution is None:
+        raise ValueError("knn_join requires the index resolution")
+    cell_rad = estimate_cell_radius(resolution)
+    r = float(initial_radius or 4.0 * cell_rad)
+
+    radii = []
+    for _ in range(max_rounds - 1):
+        if r >= _EARTH_COVER_M:
+            break
+        radii.append(r)
+        r *= growth
+    radii.append(_EARTH_COVER_M)
+
+    remaining = queries.select(
+        F.col(query_id),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        F.col(cell),
+    )
+    out = None
+    for i, rr in enumerate(radii):
+        final = i == len(radii) - 1
+        cov_res = pick_cover_resolution(rr, resolution)
+        cap_radius = rr + cell_rad + 2.0 * estimate_cell_radius(cov_res)
+        cand = _cap_candidates(
+            remaining, points, cap_radius, resolution, cov_res, query_id, cell
+        )
+        cand = cand.withColumn(
+            "dist_m",
+            haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon")),
+        )
+        if not final:
+            cand = cand.filter(F.col("dist_m") <= rr)
+        wq = Window.partitionBy(query_id)
+        wr = wq.orderBy(F.asc("dist_m"), F.asc(point_id))
+        scored = (
+            cand.withColumn("rank", F.row_number().over(wr))
+            .withColumn("__n_cand", F.count(F.lit(1)).over(wq))
+            .filter(F.col("rank") <= k)
+        )
+        if final:
+            done = cache.persist(scored.drop("__n_cand"))
+            out = done if out is None else out.unionByName(done)
+            break
+        done = cache.persist(scored.filter(F.col("__n_cand") >= k).drop("__n_cand"))
+        out = done if out is None else out.unionByName(done)
+        remaining = cache.persist(
+            remaining.join(done.select(query_id).distinct(), query_id, "left_anti")
+        )
+        if remaining.isEmpty():
+            break
+    return out
