@@ -2,13 +2,26 @@
 
 Emits one raster tile per (resolution, cell): images falling in the cell are
 rasterized as a density grid over the cell's lonlat bounding box (numpy-only
-renderer — a codec-free stand-in for real image mosaicking, with the Spark
-topology identical: groupBy(parent_cell).applyInPandas(render)).
+renderer — a codec-free stand-in for real image mosaicking).
 
-The pyramid is produced level by level from the finest assignment with
-JVM-side parent rollups, so the image table is encoded exactly once.
-Tiles carry their georeference (cell boundary ring) and verify by re-render
-PSNR (>= 40 dB gate; the renderer is deterministic so PSNR is inf).
+Scale design — JVM pixel binning + bounded assembly, no all-rows-into-one-task
+shuffle and no per-row Python:
+
+  1. each tile cell's georeference (boundary ring + bbox) is computed once per
+     DISTINCT cell (batched kernel UDF) and broadcast;
+  2. the pixel index is a pure Catalyst expression over (lon, lat, bbox) — the
+     hot path stays inside whole-stage codegen;
+  3. hit counts aggregate by (cell, pixel): a two-phase hash agg whose shuffle
+     volume is bounded by #cells * px^2 REGARDLESS of input rows (map-side
+     combine absorbs hot cells);
+  4. tile assembly collapses each cell's <= px^2 count rows into paired
+     (pixel, count) arrays JVM-side (sorted collect_list) and one Arrow-batched
+     UDF scatters THOUSANDS of tiles per batch with a single vectorized numpy
+     pass — no per-group pandas overhead; the non-linear log/normalize finish
+     runs once per tile.
+
+Integer hit counts are associative, so the result is bit-identical to a
+single-pass render (asserted in tests/test_pipeline.py).
 """
 
 import json
@@ -20,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -29,22 +43,45 @@ from pyspark.sql.types import (
 
 from a5spark.functions import native
 
+_GEOREF_SCHEMA = StructType(
+    [
+        StructField("bounds_json", StringType()),
+        StructField("lon_min", DoubleType()),
+        StructField("lat_min", DoubleType()),
+        StructField("lon_max", DoubleType()),
+        StructField("lat_max", DoubleType()),
+    ]
+)
 
-@F.pandas_udf(StringType())
-def _a5_boundary_json(cell: pd.Series) -> pd.Series:
-    """Batched cell boundary rings as JSON (georeference for tiles)."""
+
+@F.pandas_udf(_GEOREF_SCHEMA)
+def _a5_tile_georef(cell: pd.Series) -> pd.DataFrame:
+    """Batched georeference per cell: boundary ring JSON + lonlat bbox."""
     from a5spark.kernels.cell import cell_to_boundary
     from a5spark.kernels.serialization import from_signed, get_resolution
 
     cells = from_signed(cell.to_numpy(np.int64))
-    out = [None] * len(cells)
+    n = len(cells)
+    bjson = [None] * n
+    mins = np.zeros((n, 2))
+    maxs = np.zeros((n, 2))
     res = get_resolution(cells)
     for r in np.unique(res):
         idx = np.where(res == r)[0]
         rings = cell_to_boundary(cells[idx])
         for j, i in enumerate(idx):
-            out[i] = json.dumps(rings[j].tolist())
-    return pd.Series(out)
+            bjson[i] = json.dumps(rings[j].tolist())
+            mins[i] = rings[j].min(axis=0)
+            maxs[i] = rings[j].max(axis=0)
+    return pd.DataFrame(
+        {
+            "bounds_json": bjson,
+            "lon_min": mins[:, 0],
+            "lat_min": mins[:, 1],
+            "lon_max": maxs[:, 0],
+            "lat_max": maxs[:, 1],
+        }
+    )
 
 
 TILE_SCHEMA = StructType(
@@ -58,20 +95,69 @@ TILE_SCHEMA = StructType(
     ]
 )
 
+def _make_tile_assembler(px: int):
+    """Vectorized tile assembly: one numpy scatter + log/normalize pass over
+    ALL tiles in an Arrow batch (pix/cnt are each cell's paired hit arrays)."""
 
-def render_tile(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, px: int) -> np.ndarray:
-    """Density raster of points in the cell's bbox: log-scaled hit counts."""
+    @F.pandas_udf(BinaryType())
+    def assemble(pix: pd.Series, cnt: pd.Series) -> pd.Series:
+        g = len(pix)
+        if g == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=g)
+        row_idx = np.repeat(np.arange(g, dtype=np.int64), lens)
+        flat_pix = np.concatenate([np.asarray(p, dtype=np.int64) for p in pix])
+        flat_cnt = np.concatenate([np.asarray(c, dtype=np.int64) for c in cnt])
+        grids = np.zeros((g, px * px), dtype=np.int64)
+        grids[row_idx, flat_pix] = flat_cnt
+        scaled = np.log1p(grids.astype(np.float64))
+        mx = scaled.max(axis=1)
+        mx[mx == 0.0] = 1.0
+        tiles = (scaled / mx[:, None] * 255.0).astype(np.uint8)
+        return pd.Series([t.tobytes() for t in tiles])
+
+    return assemble
+
+
+def hit_grid(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, px: int) -> np.ndarray:
+    """Integer hit counts of points binned over the cell's bbox (additive)."""
     lon_min, lat_min = ring.min(axis=0)
     lon_max, lat_max = ring.max(axis=0)
     dx = (lon_max - lon_min) or 1.0
     dy = (lat_max - lat_min) or 1.0
     xi = np.clip(((lon - lon_min) / dx * px).astype(np.int64), 0, px - 1)
     yi = np.clip(((lat - lat_min) / dy * px).astype(np.int64), 0, px - 1)
-    grid = np.zeros((px, px), dtype=np.float64)
-    np.add.at(grid, (yi, xi), 1.0)
-    scaled = np.log1p(grid)
+    grid = np.zeros((px, px), dtype=np.int64)
+    np.add.at(grid, (yi, xi), 1)
+    return grid
+
+
+def finalize_tile(grid: np.ndarray) -> np.ndarray:
+    """Non-linear finish applied once per tile: log scale + 0..255 normalize."""
+    scaled = np.log1p(grid.astype(np.float64))
     mx = scaled.max() or 1.0
     return (scaled / mx * 255.0).astype(np.uint8)
+
+
+def render_tile(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, px: int) -> np.ndarray:
+    """Single-pass render (reference form for tests / verification)."""
+    return finalize_tile(hit_grid(lon, lat, ring, px))
+
+
+def _pixel_index(lon, lat, px: int):
+    """Catalyst twin of hit_grid's binning: truncate-toward-zero cast + clip,
+    identical IEEE op order to the numpy renderer ((v - min) / d * px)."""
+    dx = F.when(F.col("lon_max") == F.col("lon_min"), F.lit(1.0)).otherwise(
+        F.col("lon_max") - F.col("lon_min")
+    )
+    dy = F.when(F.col("lat_max") == F.col("lat_min"), F.lit(1.0)).otherwise(
+        F.col("lat_max") - F.col("lat_min")
+    )
+    xi = ((lon - F.col("lon_min")) / dx * px).cast("long")
+    yi = ((lat - F.col("lat_min")) / dy * px).cast("long")
+    xi = F.least(F.lit(px - 1), F.greatest(F.lit(0), xi))
+    yi = F.least(F.lit(px - 1), F.greatest(F.lit(0), yi))
+    return yi * px + xi
 
 
 def tile_pyramid(
@@ -82,47 +168,62 @@ def tile_pyramid(
 ) -> DataFrame:
     """Tile DataFrame for every requested level. `assigned` must carry
     (lon, lat, <fine_cell>) at a resolution >= max(resolutions)."""
+    from a5spark import cache
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cell_signed = int(pdf["__tile_cell"].iloc[0])
-        res = int(pdf["__tile_res"].iloc[0])
-        ring = np.array(json.loads(pdf["__bounds"].iloc[0]))
-        tile = render_tile(
-            pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), ring, tile_px
-        )
-        return pd.DataFrame(
-            {
-                "cell": [cell_signed],
-                "resolution": [res],
-                "n_images": [len(pdf)],
-                "tile_px": [tile_px],
-                "tile": [tile.tobytes()],
-                "bounds_json": [pdf["__bounds"].iloc[0]],
-            }
-        )
+    px = int(tile_px)
+    assemble = _make_tile_assembler(px)
 
     out = None
     for res in resolutions:
         level = assigned.withColumn(
-            "__tile_cell", native.cell_to_parent(F.col(fine_cell), res)
-        ).withColumn("__tile_res", F.lit(res))
-        # georeference every DISTINCT tile cell in one batched boundary pass,
-        # then broadcast the bounds to the render groups — the boundary kernel
-        # amortizes across the whole level instead of running once per group
-        bounds = (
-            level.select("__tile_cell")
+            "__tc", native.cell_to_parent(F.col(fine_cell), res)
+        ).select("__tc", "lon", "lat")
+        # georeference every DISTINCT tile cell in one batched boundary pass;
+        # persisted because it feeds both the bbox broadcast and the final
+        # bounds_json attach (caller releases via cache.release_persisted)
+        georef = cache.persist(
+            level.select("__tc")
             .distinct()
-            .withColumn("__bounds", _a5_boundary_json(F.col("__tile_cell")))
+            .withColumn("__g", _a5_tile_georef(F.col("__tc")))
+            .select("__tc", "__g.*")
         )
-        staged = level.join(F.broadcast(bounds), "__tile_cell")
-        tiles = staged.groupBy("__tile_cell").applyInPandas(render, TILE_SCHEMA)
+        staged = level.join(
+            F.broadcast(georef.drop("bounds_json")), "__tc"
+        ).withColumn("pix", _pixel_index(F.col("lon"), F.col("lat"), px))
+        counts = staged.groupBy("__tc", "pix").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        hits = counts.groupBy("__tc").agg(
+            F.sort_array(F.collect_list(F.struct("pix", "n"))).alias("hits"),
+            F.sum("n").alias("n_images"),
+        )
+        tiles = (
+            hits.withColumn(
+                "tile",
+                assemble(
+                    F.transform(F.col("hits"), lambda x: x["pix"]),
+                    F.transform(F.col("hits"), lambda x: x["n"]),
+                ),
+            )
+            .drop("hits")
+            .join(F.broadcast(georef.select("__tc", "bounds_json")), "__tc")
+            .select(
+                F.col("__tc").alias("cell"),
+                F.lit(res).cast("int").alias("resolution"),
+                "n_images",
+                F.lit(px).cast("int").alias("tile_px"),
+                "tile",
+                "bounds_json",
+            )
+        )
         out = tiles if out is None else out.unionByName(tiles)
     return out
 
 
 def verify_tiles(tiles_df: DataFrame, assigned: DataFrame, resolutions, tile_px=64) -> float:
     """Re-render and compare: returns the minimum PSNR across tiles (inf when
-    bit-identical, as expected from the deterministic renderer)."""
+    bit-identical, as expected from the deterministic renderer). Verification
+    helper only — it materializes both tile sets on the driver."""
     from a5spark.operators.multimodal import psnr
 
     re_rendered = tile_pyramid(assigned, resolutions, tile_px=tile_px)

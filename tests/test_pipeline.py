@@ -77,6 +77,28 @@ def test_tile_pyramid_psnr(spark):
     worst = verify_tiles(tiles, img, [4], tile_px=16)
     assert worst >= 40.0
 
+    # the two-phase (partial-grid + reduce) pipeline must be BIT-identical to
+    # a single-pass driver-side render of each cell's full point set
+    import json
+
+    import numpy as np
+
+    from a5spark.functions import native
+    from a5spark.operators.tiles import render_tile
+    from pyspark.sql import functions as F
+
+    pts = img.withColumn("tc", native.cell_to_parent(F.col("cell"), 4)).select(
+        "tc", "lon", "lat"
+    ).toPandas()
+    for r in collected:
+        g = pts[pts["tc"] == r["cell"]]
+        ring = np.array(json.loads(r["bounds_json"]))
+        want = render_tile(
+            g["lon"].to_numpy(np.float64), g["lat"].to_numpy(np.float64), ring, 16
+        )
+        assert r["n_images"] == len(g)
+        assert r["tile"] == want.tobytes()
+
 
 def test_checkpoint_resume(tmp_path, spark):
     from a5spark.pipeline.checkpoint import (
