@@ -54,41 +54,42 @@ def polyfill_cover(
     cell's own resolution (compacted covers mix levels).
     """
 
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fill(batches):
         from a5spark.kernels.polyfill import polygon_to_cells
         from a5spark.kernels.serialization import get_resolution, to_signed
 
-        out_ids = []
-        out_cells = []
-        out_res = []
-        for pid, rings_json in zip(pdf[id_col], pdf[rings_col]):
-            rings = json.loads(rings_json)
-            cells = polygon_to_cells(rings, resolution)
-            if cells.size == 0:
+        for pdf in batches:
+            out_ids = []
+            out_cells = []
+            out_res = []
+            for pid, rings_json in zip(pdf[id_col], pdf[rings_col]):
+                rings = json.loads(rings_json)
+                cells = polygon_to_cells(rings, resolution)
+                if cells.size == 0:
+                    continue
+                res = get_resolution(cells)
+                out_ids.extend([pid] * cells.size)
+                out_cells.append(to_signed(cells))
+                out_res.append(res.astype(np.int32))
+            if not out_cells:
+                yield pd.DataFrame(
+                    {"polygon_id": [], "cell": [], "resolution": []}
+                ).astype({"cell": "int64", "resolution": "int32"})
                 continue
-            res = get_resolution(cells)
-            out_ids.extend([pid] * cells.size)
-            out_cells.append(to_signed(cells))
-            out_res.append(res.astype(np.int32))
-        if not out_cells:
-            return pd.DataFrame(
-                {"polygon_id": [], "cell": [], "resolution": []}
-            ).astype({"cell": "int64", "resolution": "int32"})
-        return pd.DataFrame(
-            {
-                "polygon_id": out_ids,
-                "cell": np.concatenate(out_cells),
-                "resolution": np.concatenate(out_res),
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    "polygon_id": out_ids,
+                    "cell": np.concatenate(out_cells),
+                    "resolution": np.concatenate(out_res),
+                }
+            )
 
-    # one polygon per task: repartition by id so big polygons don't convoy
-    n = max(1, polygons.count())
-    return (
-        polygons.repartition(min(n, 512), id_col)
-        .groupBy(id_col)
-        .applyInPandas(lambda _key, pdf: fill(pdf), COVER_SCHEMA)
-    )
+    # each row IS one polygon, so no grouped shuffle is needed — spread rows
+    # by id hash (big polygons don't convoy behind each other) and fill per
+    # partition; one shuffle, no driver-side count job
+    spark = polygons.sparkSession
+    n_parts = min(512, 4 * spark.sparkContext.defaultParallelism)
+    return polygons.repartition(n_parts, id_col).mapInPandas(fill, COVER_SCHEMA)
 
 
 def point_in_polygon_join(
@@ -123,6 +124,28 @@ def point_in_polygon_join(
     )
 
 
+# per-python-worker prepared-polygon cache: (refine epoch, polygon id) ->
+# PreparedPolygon. Workers are reused across batches, so each executor builds
+# each polygon's prepared structure once per job; entries are dropped when a
+# new epoch (new pip_refine call) appears.
+_PREP_CACHE: dict = {}
+_REFINE_EPOCH = 0
+
+
+def _prepare_rings(rings_json: str):
+    from a5spark.kernels.polyfill import PreparedPolygon
+    from a5spark.kernels.transforms import from_lonlat, to_cartesian
+
+    ring_vecs = []
+    for ring in json.loads(rings_json):
+        arr = np.asarray(ring, dtype=np.float64)
+        if arr.shape[0] > 1 and (arr[0] == arr[-1]).all():
+            arr = arr[:-1]
+        th, ph = from_lonlat(arr[:, 0], arr[:, 1])
+        ring_vecs.append(to_cartesian(th, ph))
+    return PreparedPolygon(ring_vecs)
+
+
 def pip_refine(
     df: DataFrame,
     polygons: DataFrame,
@@ -132,33 +155,45 @@ def pip_refine(
     rings_col: str = "rings_json",
 ) -> DataFrame:
     """Exact point-in-polygon refinement of join candidates: prepared-polygon
-    containment (cap -> crossing-number -> winding fallback) over Arrow
-    batches, grouped per polygon so the prepared structure is built once per
-    batch."""
+    containment (cap -> crossing-number -> winding fallback) streamed with
+    mapInPandas over candidate batches. Refine parallelism = #partitions, not
+    #polygons — a continent-sized polygon's candidates stay spread across the
+    cluster instead of funneling into one task. The polygon layer (the small
+    side by construction) is broadcast once; prepared structures are built
+    once per executor per polygon via a worker-level cache."""
     schema = df.schema
+    spark = df.sparkSession
+    rings_by_id = {
+        r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
+    }
+    bc = spark.sparkContext.broadcast(rings_by_id)
+    global _REFINE_EPOCH
+    _REFINE_EPOCH += 1
+    bid = _REFINE_EPOCH
 
-    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from a5spark.kernels.polyfill import PreparedPolygon, point_in_prepared_polygon
+    def refine(batches):
+        from a5spark.kernels.polyfill import point_in_prepared_polygon
         from a5spark.kernels.transforms import from_lonlat, to_cartesian
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            pos = pd.RangeIndex(len(pdf))
+            th, ph = from_lonlat(
+                pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64)
+            )
+            pts = to_cartesian(th, ph)
+            grouped = pd.Series(pos).groupby(pdf[id_col].to_numpy(), sort=False)
+            for pid, idx in grouped.indices.items():
+                key = (bid, pid)
+                prep = _PREP_CACHE.get(key)
+                if prep is None:
+                    for stale in [k for k in _PREP_CACHE if k[0] != bid]:
+                        _PREP_CACHE.pop(stale, None)
+                    prep = _prepare_rings(bc.value[pid])
+                    _PREP_CACHE[key] = prep
+                keep[idx] = point_in_prepared_polygon(pts[idx], prep)
+            yield pdf.loc[keep]
 
-        rings = json.loads(pdf["__rings"].iloc[0])
-        ring_vecs = []
-        for ring in rings:
-            arr = np.asarray(ring, dtype=np.float64)
-            if arr.shape[0] > 1 and (arr[0] == arr[-1]).all():
-                arr = arr[:-1]
-            th, ph = from_lonlat(arr[:, 0], arr[:, 1])
-            ring_vecs.append(to_cartesian(th, ph))
-        prep = PreparedPolygon(ring_vecs)
-        th, ph = from_lonlat(
-            pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64)
-        )
-        pts = to_cartesian(th, ph)
-        inside = point_in_prepared_polygon(pts, prep)
-        return pdf.loc[inside].drop(columns=["__rings"])
-
-    joined = df.join(
-        F.broadcast(polygons.select(F.col(id_col), F.col(rings_col).alias("__rings"))),
-        id_col,
-    )
-    return joined.groupBy(id_col).applyInPandas(refine, schema)
+    return df.mapInPandas(refine, schema)
