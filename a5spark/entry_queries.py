@@ -313,6 +313,177 @@ def q_multires_rollup(spark, sf_dir):
     return out.orderBy("resolution", "cell")
 
 
+# --- distributed compact / cover set ops -------------------------------------
+# Synthetic res-6 cover: q = k % 30, s = md5-digest(seed|k) % 256, rows kept
+# when the digest's upper bits clear a threshold — sibling groups complete
+# with controlled probability — plus one DETERMINISTICALLY complete quintant
+# block (all 256 s values of q = full_q) that collapses res 6 -> 5 -> 4 -> 3
+# -> 2, exercising the multi-level descent.
+
+_SQL_CELL6 = (
+    "(q * 288230376151711744 + s * 281474976710656 + 140737488355328)"
+)  # q << 58 | s << 48 | 1 << 47
+
+
+def _sql_cover6(seed: str, threshold: int, full_q: int) -> str:
+    return f"""
+      SELECT DISTINCT c FROM (
+        SELECT {_SQL_CELL6} AS c
+        FROM (SELECT l_orderkey % 30 AS q, d % 256 AS s, (d // 256) % 97 AS keep
+              FROM (SELECT l_orderkey,
+                           CAST(('0x' || substring(md5('{seed}|' || l_orderkey::VARCHAR), 1, 15)) AS BIGINT) AS d
+                    FROM lineitem))
+        WHERE keep < {threshold}
+        UNION ALL
+        SELECT {full_q} * 288230376151711744 + i * 281474976710656 + 140737488355328
+        FROM unnest(generate_series(0, 255)) AS t(i)
+      )
+    """
+
+
+def _spark_cover6(spark, li, seed: str, threshold: int, full_q: int):
+    k = F.col("l_orderkey")
+    digest = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    q = (k % 30).cast("long")
+    s = digest % 256
+    keep = (native._shru(digest, 8) % 97) < threshold
+    cell = (
+        native._shl(q, F.lit(58))
+        + native._shl(s, F.lit(48))
+        + native._shl(F.lit(1), F.lit(47))
+    )
+    rand_part = li.filter(keep).select(cell.alias("cell"))
+    full = spark.range(256).select(
+        (
+            native._shl(F.lit(full_q), F.lit(58))
+            + native._shl(F.col("id"), F.lit(48))
+            + native._shl(F.lit(1), F.lit(47))
+        ).alias("cell")
+    )
+    return rand_part.unionByName(full).distinct()
+
+
+def _sql_compact_chain(src: str, r_hi: int) -> str:
+    """CTE chain replicating the finest->coarsest complete-sibling collapse
+    (4 Hilbert siblings per level; the child-res-2 level uses the res-1
+    quintant marker at bit 56). `src` must select a column c of res-r_hi
+    cells; returns SQL whose final CTE `compacted` selects column c."""
+    parts = [f"src AS ({src})"]
+    prev = "src"
+    survivors = []
+    for r in range(r_hi, 1, -1):
+        if r >= 3:
+            shift = 1 << (60 - 2 * (r - 1))
+            marker = 1 << (59 - 2 * (r - 1))
+        else:  # child res 2 -> res-1 parent: quintant bits + marker bit 56
+            shift = 1 << 58
+            marker = 1 << 56
+        parts.append(
+            f"lvl{r} AS (SELECT c, (c // {shift}) * {shift} + {marker} AS p FROM {prev})"
+        )
+        parts.append(f"g{r} AS (SELECT p, count(*) AS n FROM lvl{r} GROUP BY p)")
+        parts.append(
+            f"s{r} AS (SELECT c FROM lvl{r} JOIN g{r} USING (p) WHERE n < 4)"
+        )
+        parts.append(f"p{r} AS (SELECT p AS c FROM g{r} WHERE n = 4)")
+        survivors.append(f"SELECT c FROM s{r}")
+        prev = f"p{r}"
+    survivors.append(f"SELECT c FROM {prev}")
+    parts.append("compacted AS (" + " UNION ALL ".join(survivors) + ")")
+    return ",\n".join(parts)
+
+
+_SQL_RES_OF_C = """
+    CAST(CASE WHEN lsb = 56 THEN 1 WHEN lsb = 57 THEN 0
+         ELSE (59 - lsb) // 2 END AS INT)
+"""
+
+
+def q_compact_cover(spark, sf_dir):
+    """Distributed compact: synthetic res-6 cover (91% sibling coverage)
+    collapses across several levels; per-resolution stats of the compacted
+    cover. Validates operators.spatial.compact_cover (reference
+    a5/core/compact.py:69-142) against a pure-SQL collapse chain."""
+    from a5spark.operators.spatial import compact_cover
+
+    cells = _spark_cover6(spark, _t(spark, sf_dir, "lineitem"), "a", 88, 3)
+    out = compact_cover(cells)
+    return (
+        out.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cell").alias("min_cell"),
+            F.max("cell").alias("max_cell"),
+        )
+        .orderBy("resolution")
+    )
+
+
+def oracle_compact_cover():
+    chain = _sql_compact_chain(_sql_cover6("a", 88, 3), 6)
+    return f"""
+    WITH {chain}
+    SELECT {_SQL_RES_OF_C} AS resolution,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           min(c) AS min_cell, max(c) AS max_cell
+    FROM (SELECT c, bit_count((c & -c) - 1) AS lsb FROM compacted)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_cover_set_ops(spark, sf_dir):
+    """Compact-aware cover set ops: union / intersect / difference of two
+    res-6 covers at a common resolution, re-compacted; per-(op, resolution)
+    counts."""
+    from a5spark.operators.spatial import (
+        cover_difference,
+        cover_intersect,
+        cover_union,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = _spark_cover6(spark, li, "a", 88, 3)
+    b = _spark_cover6(spark, li, "b", 60, 4)
+    ops = {
+        "union": cover_union(a, b, 6),
+        "intersect": cover_intersect(a, b, 6),
+        "difference": cover_difference(a, b, 6),
+    }
+    out = None
+    for name, df in ops.items():
+        level = (
+            df.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+            .withColumn("op", F.lit(name))
+        )
+        out = level if out is None else out.unionByName(level)
+    return out.orderBy("op", "resolution")
+
+
+def oracle_cover_set_ops():
+    a = _sql_cover6("a", 88, 3)
+    b = _sql_cover6("b", 60, 4)
+    blocks = []
+    for name, op_sql in (
+        ("union", f"SELECT c FROM ({a}) UNION SELECT c FROM ({b})"),
+        ("intersect", f"SELECT c FROM ({a}) INTERSECT SELECT c FROM ({b})"),
+        ("difference", f"SELECT c FROM ({a}) EXCEPT SELECT c FROM ({b})"),
+    ):
+        chain = _sql_compact_chain(op_sql, 6)
+        blocks.append(f"""
+        SELECT '{name}' AS op, {_SQL_RES_OF_C} AS resolution,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM (WITH {chain}
+              SELECT c, bit_count((c & -c) - 1) AS lsb FROM compacted)
+        GROUP BY 1, 2
+        """)
+    return " UNION ALL ".join(blocks) + " ORDER BY op, resolution"
+
+
 # --- training-data pipeline operators (documents / embeddings tables) -------
 
 def q_dedup_exact(spark, sf_dir):
@@ -852,6 +1023,8 @@ QUERIES = {
     "hier_children": q_hier_children,
     "hier_child_join": q_hier_child_join,
     "hex_roundtrip": q_hex_roundtrip,
+    "compact_cover": q_compact_cover,
+    "cover_set_ops": q_cover_set_ops,
     "images_derivation": q_images_derivation,
     "cell_density_r7": q_cell_density_r7,
     "multires_rollup": q_multires_rollup,
@@ -880,6 +1053,8 @@ ORACLES = {
     "hier_children": oracle_hier_children(),
     "hier_child_join": oracle_hier_child_join(),
     "hex_roundtrip": oracle_hex_roundtrip(),
+    "compact_cover": oracle_compact_cover(),
+    "cover_set_ops": oracle_cover_set_ops(),
     "images_derivation": oracle_images_derivation(),
     "dedup_exact": oracle_dedup_exact(),
     "jaccard_verify": oracle_jaccard_verify(),

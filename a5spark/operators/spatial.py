@@ -132,6 +132,136 @@ def child_of_join(
     return pts.join(par, "__pp").withColumnRenamed("__pp", parent_cell)
 
 
+def compact_cover(
+    df: DataFrame, cell: str = "cell", group_cols=(), max_levels: int = 31
+) -> DataFrame:
+    """Distributed compact of a cell cover (reference a5/core/compact.py:69-142
+    semantics): dedup, then collapse complete sibling groups finest->coarsest —
+    4 Hilbert siblings (child res >= 2) or 5 quintants (child res 1) with the
+    same parent. Works per `group_cols` partition (e.g. polygon_id).
+
+    Scale notes: one two-phase hash shuffle per resolution LEVEL PRESENT (keyed
+    by parent — a window computes group count and the emit-once rank in the
+    same pass); no driver-side iteration over rows, only a single min/max-res
+    probe job. Cover tables are small relative to point tables, so the whole
+    pass is cheap; promoted parents re-enter the next level so multi-level
+    collapses reach fixpoint exactly like the kernel (kernels/compact.py).
+
+    Precondition (same as the reference): no cell in the input is an ancestor
+    of another input cell. Res-0 cells are emitted as-is (the reference's
+    12-res-0-cells -> world-cell collapse is intentionally not performed —
+    a cover equal to the whole globe is better expressed upstream)."""
+    from pyspark.sql import Window
+
+    from a5spark import cache
+    from a5spark.functions.udfs import a5_cell_to_parent
+
+    g = list(group_cols)
+    cur = df.select(*g, F.col(cell).alias("__c")).distinct()
+    cur = cur.withColumn("__res", native.cell_resolution(F.col("__c")))
+    bounds = cur.agg(
+        F.min("__res").alias("lo"), F.max("__res").alias("hi")
+    ).first()
+    if bounds.hi is None:
+        return df.select(*g, F.col(cell)).limit(0)
+    r_hi = int(bounds.hi)
+    r_lo = int(bounds.lo)
+
+    pieces = []
+    level = cur.filter(F.col("__res") == r_hi).drop("__res")
+    for r in range(r_hi, 0, -1):
+        if r != r_hi:
+            level = level.unionByName(
+                cur.filter(F.col("__res") == r).drop("__res")
+            ).distinct()
+            if r < r_lo:
+                # below the input's finest data only promoted cells flow;
+                # short-circuit the descent once the stream runs dry (persist
+                # so the probe job isn't recomputed by the final union)
+                level = cache.persist(level)
+                if level.isEmpty():
+                    level = level.limit(0)
+                    break
+        size = 4 if r >= 2 else 5
+        if r >= 3:
+            parent = native.cell_to_parent(F.col("__c"), r - 1)
+        else:
+            parent = a5_cell_to_parent(F.col("__c"), F.lit(r - 1))
+        staged = level.withColumn("__p", parent)
+        w = Window.partitionBy(*g, "__p")
+        staged = staged.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__rk", F.row_number().over(w.orderBy("__c"))
+        )
+        pieces.append(
+            staged.filter(F.col("__n") < size).select(*g, "__c")
+        )
+        level = staged.filter(
+            (F.col("__n") == size) & (F.col("__rk") == 1)
+        ).select(*g, F.col("__p").alias("__c"))
+    pieces.append(level)  # whatever reached the coarsest level uncollapsed
+    pieces.append(cur.filter(F.col("__res") <= 0).drop("__res"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.withColumnRenamed("__c", cell)
+
+
+def uncompact_cover(
+    cover: DataFrame, target_resolution: int, cell: str = "cell", group_cols=()
+) -> DataFrame:
+    """Expand a (possibly mixed-resolution) cover to a single fine resolution
+    via the native children sequence — JVM-side, explode-based."""
+    g = list(group_cols)
+    res = native.cell_resolution(F.col(cell))
+    return cover.select(
+        *g,
+        F.explode(
+            native.cell_children(F.col(cell), res, target_resolution)
+        ).alias(cell),
+    )
+
+
+def cover_union(
+    a: DataFrame, b: DataFrame, resolution: int, cell: str = "cell",
+    group_cols=(), compact: bool = True,
+) -> DataFrame:
+    """Set union of two covers at a common resolution, re-compacted."""
+    u = (
+        uncompact_cover(a, resolution, cell, group_cols)
+        .unionByName(uncompact_cover(b, resolution, cell, group_cols))
+        .distinct()
+    )
+    return compact_cover(u, cell, group_cols) if compact else u
+
+
+def cover_intersect(
+    a: DataFrame, b: DataFrame, resolution: int, cell: str = "cell",
+    group_cols=(), compact: bool = True,
+) -> DataFrame:
+    """Set intersection of two covers at a common resolution, re-compacted."""
+    keys = list(group_cols) + [cell]
+    i = (
+        uncompact_cover(a, resolution, cell, group_cols)
+        .join(uncompact_cover(b, resolution, cell, group_cols), keys, "left_semi")
+        .distinct()
+    )
+    return compact_cover(i, cell, group_cols) if compact else i
+
+
+def cover_difference(
+    a: DataFrame, b: DataFrame, resolution: int, cell: str = "cell",
+    group_cols=(), compact: bool = True,
+) -> DataFrame:
+    """Set difference a - b of two covers at a common resolution, re-compacted."""
+    keys = list(group_cols) + [cell]
+    d = (
+        uncompact_cover(a, resolution, cell, group_cols)
+        .join(uncompact_cover(b, resolution, cell, group_cols), keys, "left_anti")
+        .distinct()
+    )
+    return compact_cover(d, cell, group_cols) if compact else d
+
+
 def salt_column(df: DataFrame, key: str, buckets: int, out: str = "__salt") -> DataFrame:
     """Deterministic salt for hot-key two-phase aggregation: groupBy(key, salt)
     partial-aggregate, then groupBy(key) final."""

@@ -117,6 +117,38 @@ def test_native_hex_roundtrip_sign_bit_cells(spark):
         assert api.hex_to_u64(r.hx) == u64
 
 
+def test_compact_cover_matches_kernel(spark):
+    """Distributed compact must reproduce the kernel's compact exactly on
+    real polygon covers (uncompacted to a fine resolution, then re-compacted),
+    per polygon group."""
+    import numpy as np
+
+    from a5spark.kernels.compact import compact as kcompact
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.polyfill import polygon_to_cells
+    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.operators.spatial import compact_cover
+
+    polys = {
+        "uk": [[-8.0, 50.0], [2.0, 50.0], [2.0, 59.0], [-8.0, 59.0]],
+        "alps": [[6.0, 44.0], [14.0, 45.0], [10.0, 48.0]],
+        "horn": [[40.0, 2.0], [52.0, 2.0], [52.0, 12.0], [44.0, 12.0]],
+    }
+    rows, expected = [], {}
+    for pid, ring in polys.items():
+        cover = polygon_to_cells([ring], 6)
+        fine = uncompact(cover, 8)
+        expected[pid] = set(int(c) for c in kcompact(fine))
+        rows += [(pid, int(c)) for c in to_signed(fine)]
+    df = spark.createDataFrame(rows, ["polygon_id", "cell"])
+    out = compact_cover(df, group_cols=["polygon_id"]).collect()
+    got = {}
+    for r in out:
+        u = int(from_signed(np.array([r.cell], dtype=np.int64))[0])
+        got.setdefault(r.polygon_id, set()).add(u)
+    assert got == expected
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
