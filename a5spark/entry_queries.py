@@ -974,6 +974,44 @@ def q_pip_join(spark, sf_dir):
     ).orderBy("polygon_id")
 
 
+def q_line_trace(spark, sf_dir):
+    """Trajectory -> ordered cell trace -> corridor density: fixed polylines
+    traced at res 7 (a5_line_to_cells UDF, reference a5/traversal/line.py),
+    exploded and equi-joined against the image table's cell assignment.
+    Rows-only check (the trace kernel is fixture-pinned in tests; order parity
+    is asserted vs the reference library in test_traversal)."""
+    from a5spark import cache
+    from a5spark.functions.udfs import a5_line_to_cells
+    from a5spark.operators.spatial import assign_cells
+
+    routes = [
+        ("london_paris", [[-0.1276, 51.5074], [2.35, 48.85]]),
+        ("nyc_chicago_la", [[-73.98, 40.75], [-87.62, 41.88], [-118.24, 34.05]]),
+        ("tokyo_osaka", [[139.76, 35.68], [135.5, 34.69]]),
+        ("cape_cairo", [[18.42, -33.92], [31.23, 30.04]]),
+    ]
+    rdf = spark.createDataFrame(routes, ["route_id", "waypoints"])
+    traced = rdf.select(
+        "route_id",
+        a5_line_to_cells(F.col("waypoints"), F.lit(7)).alias("cells"),
+    ).select(
+        "route_id",
+        F.size("cells").alias("n_cells"),
+        F.element_at("cells", 1).alias("first_cell"),
+        F.element_at("cells", -1).alias("last_cell"),
+        F.explode("cells").alias("cell"),
+    )
+    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
+    joined = traced.join(img.select("cell"), "cell", "left")
+    return (
+        joined.groupBy("route_id", "n_cells", "first_cell", "last_cell")
+        .agg(
+            F.sum(F.lit(1)).cast("long").alias("n_corridor_rows"),
+        )
+        .orderBy("route_id")
+    )
+
+
 def q_s2_crossindex(spark, sf_dir):
     """Cross-index assignment: A5 + S2 cells per image, joint density
     (rows-only: S2 encode is not SQL-expressible)."""
@@ -1042,6 +1080,7 @@ QUERIES = {
     "knn_images": q_knn_images,
     "polyfill_cover": q_polyfill_cover,
     "pip_join": q_pip_join,
+    "line_trace": q_line_trace,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
     "tile_pyramid": q_tile_pyramid,

@@ -98,6 +98,22 @@ def a5_cell_to_children(cell: pd.Series, child_resolution: pd.Series) -> pd.Seri
     return pd.Series(out)
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def a5_line_to_cells(waypoints: pd.Series, resolution: pd.Series) -> pd.Series:
+    """Ordered cell trace of a lonlat polyline (reference
+    a5/traversal/line.py:15-92): per-row kernel call (trajectories vary in
+    length; the kernel vectorizes internally across segment sample batches).
+    `waypoints` is array<array<double>> of [lon, lat] pairs."""
+    from a5spark.kernels.line import line_string_to_cells
+    from a5spark.kernels.serialization import to_signed
+
+    out = [None] * len(waypoints)
+    for i, (wp, r) in enumerate(zip(waypoints, resolution)):
+        cells = line_string_to_cells([(float(p[0]), float(p[1])) for p in wp], int(r))
+        out[i] = to_signed(np.asarray(cells, dtype=np.uint64)).tolist()
+    return pd.Series(out)
+
+
 @F.pandas_udf(DoubleType())
 def a5_cell_area(cell: pd.Series) -> pd.Series:
     from a5spark.kernels.cell_info import cell_area

@@ -149,6 +149,39 @@ def test_compact_cover_matches_kernel(spark):
     assert got == expected
 
 
+def test_line_udf_matches_reference(spark):
+    """Spark line-trace UDF must return the reference's exact ordered trace."""
+    import sys
+
+    import pytest as _pytest
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+
+    if not reference_available():
+        _pytest.skip("reference not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import a5
+
+    from a5spark.functions.udfs import a5_line_to_cells
+    from pyspark.sql import functions as F
+
+    routes = [
+        ("lp", [[-0.1276, 51.5074], [2.35, 48.85]]),
+        ("ny", [[-73.98, 40.75], [-87.62, 41.88]]),
+    ]
+    df = spark.createDataFrame(routes, ["route_id", "waypoints"])
+    got = {
+        r.route_id: [c if c >= 0 else c + (1 << 64) for c in r.cells]
+        for r in df.select(
+            "route_id", a5_line_to_cells(F.col("waypoints"), F.lit(7)).alias("cells")
+        ).collect()
+    }
+    for rid, wps in routes:
+        want = a5.line_string_to_cells([tuple(w) for w in wps], 7)
+        assert got[rid] == list(want), f"trace mismatch for {rid}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
