@@ -154,62 +154,105 @@ def quantized_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id: bit b = sign of dot(vec, h_b) where
-    h_b components derive from digest(b, i) — deterministic, engine-portable.
+def hyperplane_signs(table: int, bit: int, dim: int) -> list:
+    """Deterministic +-1 hyperplane components for LSH table/bit: parity of
+    md5(f"{table}:{bit}|{i}") — reproducible in any engine (the oracle bakes
+    the identical literals from the same derivation)."""
+    import hashlib
 
-    Uses +-1 hyperplane components (digest parity), so the dot product is a
-    signed sum of vector components — cheap and SQL-reproducible."""
-    bits = []
-    for b in range(n_bits):
-        # component sign for (b, i): parity of digest
-        signed_sum = F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: F.when(
-                    content_digest(
-                        F.concat(F.lit(f"{b}|"), i.cast("string"))
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    x.cast("double"),
-                ).otherwise(-x.cast("double")),
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(signed_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return [
+        1 if int(hashlib.md5(f"{table}:{bit}|{i}".encode()).hexdigest()[:15], 16) & 1
+        else -1
+        for i in range(dim)
+    ]
+
+
+def hyperplane_buckets(
+    vec: Column, dim: int, n_bits: int = 8, n_tables: int = 4, scale: int = 1000
+) -> Column:
+    """Array of `n_tables` banded LSH bucket ids for a quantized vector.
+
+    Bit b of table t = sign of the +-1-weighted integer sum of round(x*scale)
+    components (signs from hyperplane_signs) — exact int64 arithmetic, so
+    bucket assignment is bit-identical across engines. The sign tables are
+    baked as array literals: the per-row cost is n_tables*n_bits fused
+    zip_with/aggregate passes, all JVM-side."""
+    qv = quantize(vec, scale)
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            signs = F.array(*[F.lit(s) for s in hyperplane_signs(t, b, dim)])
+            signed_sum = F.aggregate(
+                F.zip_with(qv, signs, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(signed_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bb in bits[1:]:
+            out = out + bb
+        buckets.append(out)
+    return F.array(*buckets)
 
 
 def lsh_bucket_topk(
     queries: DataFrame,
     points: DataFrame,
     k: int,
+    dim: int,
     n_bits: int = 8,
+    n_tables: int = 4,
+    scale: int = 1000,
     query_id: str = "q_id",
     point_id: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket (single-probe).
-    Recall is tunable via n_bits; multi-probe = union over neighbor buckets."""
+    """Banded multi-table hyperplane-LSH ANN top-k with exact quantized
+    re-rank (the 100 TB scale path):
+
+      1. each side computes `n_tables` bucket ids (posexplode -> one join key
+         (table, bucket) — per-table buckets keep the join NOT 2^n_bits-way:
+         collision volume is sum over tables of matched-bucket products);
+      2. candidate pairs dedup across tables;
+      3. exact int64-quantized dot-product re-rank, ties by point id — the
+         same scoring as quantized_topk, so recall is measurable against it
+         and the whole pipeline is oracle-expressible.
+
+    Returns (query_id, rank, point_id, qdot)."""
     q = queries.select(
         F.col(query_id),
-        F.col(vec).alias("q_vec"),
-        hyperplane_bucket(F.col(vec), n_bits).alias("bucket"),
+        F.col(vec).alias("__qv"),
+        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
+            "__t", "__bucket"
+        ),
     )
     p = points.select(
         F.col(point_id),
-        F.col(vec),
-        hyperplane_bucket(F.col(vec), n_bits).alias("bucket"),
+        F.col(vec).alias("__pv"),
+        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
+            "__t", "__bucket"
+        ),
     )
-    cand = q.join(p, "bucket")
-    cand = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col(vec)))
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(point_id))
+    cand = (
+        q.join(p, ["__t", "__bucket"])
+        .dropDuplicates([query_id, point_id])
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with(
+                    quantize(F.col("__qv"), scale),
+                    quantize(F.col("__pv"), scale),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("q_vec", vec)
+        .drop("__qv", "__pv", "__t", "__bucket")
     )

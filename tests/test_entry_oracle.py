@@ -182,6 +182,28 @@ def test_line_udf_matches_reference(spark):
         assert got[rid] == list(want), f"trace mismatch for {rid}"
 
 
+def test_ann_lsh_recall(spark):
+    """Banded LSH top-k must recall >= 0.9 of the brute-force quantized
+    ground truth (sf0.01: 500 vectors, 20 queries)."""
+    from a5spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    truth = {}
+    for r in QUERIES["ann_quantized"](spark, sf).collect():
+        if r.q_id % 25 != 0:
+            continue  # ann_lsh queries every 25th vector; truth every 10th
+        truth.setdefault(r.q_id, set())
+        if r.rank <= 3:
+            truth[r.q_id].add(r.vec_id)
+    got = {}
+    for r in QUERIES["ann_lsh"](spark, sf).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
