@@ -299,18 +299,63 @@ def q_cell_density_r7(spark, sf_dir):
     return spatial.top_k_cells(dens.withColumnRenamed("n", "n_images"), 50, "n_images")
 
 
+_MULTIRES_SNAPSHOT = "/tmp/a5spark_oracle/multires_r9"
+
+
 def q_multires_rollup(spark, sf_dir):
-    """Multi-resolution density pyramid: encode once at res 9, roll up to
-    res 5 JVM-side, count per (resolution, cell). No oracle (encode)."""
+    """Multi-resolution density pyramid: encode once at res 9 (written to a
+    snapshot parquet so the oracle can roll it up independently — the encode
+    itself is pinned by the kernel fixture tests), derive res 5/7 parents
+    JVM-side via one explode (single pass, map-side combined), count per
+    (resolution, cell)."""
     img = images_from_sf_dir(spark, sf_dir)
-    df = spatial.assign_cells_multi(img, [5, 7, 9]).persist()
-    out = None
-    for r in (5, 7, 9):
-        level = df.groupBy(F.col(f"cell_r{r}").alias("cell")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_images")
-        ).withColumn("resolution", F.lit(r))
-        out = level if out is None else out.unionByName(level)
-    return out.orderBy("resolution", "cell")
+    spatial.assign_cells(img, 9).select("image_id", "cell").write.mode(
+        "overwrite"
+    ).parquet(_MULTIRES_SNAPSHOT)
+    enc = spark.read.parquet(_MULTIRES_SNAPSHOT)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("resolution"),
+                (
+                    native.cell_to_parent(F.col("cell"), r) if r < 9 else F.col("cell")
+                ).alias("cell"),
+            )
+            for r in (5, 7, 9)
+        ]
+    )
+    return (
+        enc.select(F.explode(levels).alias("l"))
+        .groupBy(F.col("l.resolution").alias("resolution"), F.col("l.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+        .orderBy("resolution", "cell")
+    )
+
+
+def _sql_parent(col: str, res: int) -> str:
+    """Two's-complement low-bit clear + marker for a res-`res` parent,
+    sign-safe: DuckDB's // truncates toward zero, so clear the low bits with
+    a floor-mod (c - ((c % S + S) % S)) which matches the unsigned shift for
+    negative (bit-63) cells too."""
+    shift = 1 << (60 - 2 * res)
+    marker = 1 << (59 - 2 * res)
+    return f"({col} - ((({col} % {shift}) + {shift}) % {shift}) + {marker})"
+
+
+def oracle_multires_rollup():
+    return f"""
+    WITH enc AS (SELECT cell FROM read_parquet('{_MULTIRES_SNAPSHOT}/*.parquet')),
+    lv AS (
+      SELECT 5 AS resolution, {_sql_parent("cell", 5)} AS cell FROM enc
+      UNION ALL
+      SELECT 7, {_sql_parent("cell", 7)} FROM enc
+      UNION ALL
+      SELECT 9, cell FROM enc
+    )
+    SELECT CAST(resolution AS INT) AS resolution, cell,
+           CAST(count(*) AS BIGINT) AS n_images
+    FROM lv GROUP BY resolution, cell ORDER BY resolution, cell
+    """
 
 
 # --- distributed compact / cover set ops -------------------------------------
@@ -1007,6 +1052,7 @@ def q_pip_join(spark, sf_dir):
     exact PIP refine). Rows-only check."""
     import json as _json
 
+    from a5spark import cache
     from a5spark.operators.polygons import pip_refine, point_in_polygon_join, polyfill_cover
     from a5spark.operators.spatial import assign_cells
 
@@ -1019,7 +1065,7 @@ def q_pip_join(spark, sf_dir):
         ["polygon_id", "rings_json"],
     )
     cover = polyfill_cover(pdf, resolution=6)
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 9).persist()
+    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 9))
     joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
     refined = pip_refine(joined, pdf)
     return refined.groupBy("polygon_id").agg(
@@ -1066,19 +1112,38 @@ def q_line_trace(spark, sf_dir):
     )
 
 
+_S2_SNAPSHOT = "/tmp/a5spark_oracle/s2_crossindex"
+
+
 def q_s2_crossindex(spark, sf_dir):
-    """Cross-index assignment: A5 + S2 cells per image, joint density
-    (rows-only: S2 encode is not SQL-expressible)."""
+    """Cross-index assignment: A5 + S2 cells per image, joint density. The
+    dual encode (not SQL-expressible; pinned by kernel property tests) is
+    snapshot to parquet so the oracle independently verifies the rollup and
+    the deterministic top-100 selection."""
     from a5spark.functions.crossindex import assign_cross_index
 
     img = images_from_sf_dir(spark, sf_dir)
     df = assign_cross_index(img, a5_resolution=5, s2_level=8)
+    df.select("image_id", "a5_cell", "s2_cell").write.mode("overwrite").parquet(
+        _S2_SNAPSHOT
+    )
+    snap = spark.read.parquet(_S2_SNAPSHOT)
     return (
-        df.groupBy("a5_cell", "s2_cell")
+        snap.groupBy("a5_cell", "s2_cell")
         .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
         .orderBy(F.desc("n_images"), "a5_cell", "s2_cell")
         .limit(100)
     )
+
+
+def oracle_s2_crossindex():
+    return f"""
+    SELECT a5_cell, s2_cell, CAST(count(*) AS BIGINT) AS n_images
+    FROM read_parquet('{_S2_SNAPSHOT}/*.parquet')
+    GROUP BY a5_cell, s2_cell
+    ORDER BY n_images DESC, a5_cell, s2_cell
+    LIMIT 100
+    """
 
 
 def q_image_stats(spark, sf_dir):
@@ -1097,16 +1162,43 @@ def q_image_stats(spark, sf_dir):
     ).orderBy("image_id")
 
 
+_TILE_SNAPSHOT = "/tmp/a5spark_oracle/tile_assigned_r8"
+
+
 def q_tile_pyramid(spark, sf_dir):
-    """Raster tile pyramid keyed by pentagon cell at res 4..6 (rows-only)."""
+    """Raster tile pyramid keyed by pentagon cell at res 4/5. The res-8
+    assignment is snapshot to parquet; the oracle independently rolls up the
+    per-tile image counts and key set (tile bytes themselves are pinned by the
+    bit-identity render test in test_pipeline)."""
+    from a5spark import cache
     from a5spark.operators.spatial import assign_cells
     from a5spark.operators.tiles import tile_pyramid
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 8).persist()
+    assign_cells(images_from_sf_dir(spark, sf_dir), 8).select(
+        "image_id", "cell", "lon", "lat"
+    ).write.mode("overwrite").parquet(_TILE_SNAPSHOT)
+    img = cache.persist(spark.read.parquet(_TILE_SNAPSHOT))
     tiles = tile_pyramid(img, [4, 5], fine_cell="cell", tile_px=32)
     return tiles.select(
         "cell", "resolution", "n_images", "tile_px", F.length("tile").alias("tile_bytes")
     ).orderBy("resolution", "cell")
+
+
+def oracle_tile_pyramid():
+    # sign-safe parent clearing; every tile is a full px*px uint8 raster
+    return f"""
+    WITH enc AS (SELECT cell FROM read_parquet('{_TILE_SNAPSHOT}/*.parquet')),
+    lv AS (
+      SELECT 4 AS resolution, {_sql_parent("cell", 4)} AS cell FROM enc
+      UNION ALL
+      SELECT 5, {_sql_parent("cell", 5)} FROM enc
+    )
+    SELECT cell, CAST(resolution AS INT) AS resolution,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(32 AS INT) AS tile_px,
+           CAST(1024 AS INT) AS tile_bytes
+    FROM lv GROUP BY resolution, cell ORDER BY resolution, cell
+    """
 
 
 QUERIES = {
@@ -1158,6 +1250,9 @@ ORACLES = {
     "lang_id": oracle_lang_id(),
     "ann_quantized": oracle_ann_quantized(),
     "ann_lsh": oracle_ann_lsh(),
+    "multires_rollup": oracle_multires_rollup(),
+    "s2_crossindex": oracle_s2_crossindex(),
+    "tile_pyramid": oracle_tile_pyramid(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
 }

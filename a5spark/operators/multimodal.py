@@ -83,10 +83,7 @@ def image_stats(df: DataFrame) -> DataFrame:
                 bh, bw = h // 8, w // 8
                 small = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
                 bitmask = (small > small.mean()).ravel()
-                ph = 0
-                for i, b in enumerate(bitmask):
-                    if b:
-                        ph |= 1 << i
+                ph = int(np.bitwise_or.reduce(np.left_shift(bitmask.astype(np.uint64), np.arange(64, dtype=np.uint64))))
                 rows.append(
                     (
                         img_id,

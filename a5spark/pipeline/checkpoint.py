@@ -59,14 +59,27 @@ def run_partitioned(
     staged = with_partition(df, key, n_parts)
     total_rows = 0
     t_start = time.time()
+    spark = df.sparkSession
     for i in range(0, len(todo), batch_parts):
         batch = todo[i : i + batch_parts]
         part_df = staged.filter(F.col("part").isin(batch))
         path = os.path.join(out_dir, "data")
-        part_df.write.mode("append").partitionBy("part").parquet(path)
+        # dynamic partition overwrite makes a re-run of an uncommitted batch
+        # idempotent (a crash between the data write and the manifest write
+        # would otherwise duplicate rows on resume under append mode)
+        part_df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part").parquet(path)
+        # derive committed counts from the files just written (one metadata
+        # scan) — recomputing part_df could diverge for nondeterministic
+        # sources, and the manifest must describe what is actually on disk
         counts = {
             r["part"]: r["n"]
-            for r in part_df.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in spark.read.parquet(path)
+            .filter(F.col("part").isin(batch))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
         for p in batch:
             entry = {
