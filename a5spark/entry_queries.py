@@ -1090,6 +1090,8 @@ def q_line_trace(spark, sf_dir):
         ("tokyo_osaka", [[139.76, 35.68], [135.5, 34.69]]),
         ("cape_cairo", [[18.42, -33.92], [31.23, 30.04]]),
     ]
+    from a5spark.functions.udfs import a5_cell_area_exact
+
     rdf = spark.createDataFrame(routes, ["route_id", "waypoints"])
     traced = rdf.select(
         "route_id",
@@ -1100,13 +1102,19 @@ def q_line_trace(spark, sf_dir):
         F.element_at("cells", 1).alias("first_cell"),
         F.element_at("cells", -1).alias("last_cell"),
         F.explode("cells").alias("cell"),
-    )
+    ).withColumn("cell_km2", a5_cell_area_exact(F.col("cell")) / 1e6)
     img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
-    joined = traced.join(img.select("cell"), "cell", "left")
+    joined = traced.join(
+        img.select("cell", F.lit(1).alias("__hit")), "cell", "left"
+    )
+    per_cell = joined.groupBy(
+        "route_id", "n_cells", "first_cell", "last_cell", "cell", "cell_km2"
+    ).agg(F.count("__hit").alias("n_img"))
     return (
-        joined.groupBy("route_id", "n_cells", "first_cell", "last_cell")
+        per_cell.groupBy("route_id", "n_cells", "first_cell", "last_cell")
         .agg(
-            F.sum(F.lit(1)).cast("long").alias("n_corridor_rows"),
+            F.sum("n_img").cast("long").alias("n_corridor_images"),
+            F.round(F.sum("cell_km2"), 3).alias("corridor_km2"),
         )
         .orderBy("route_id")
     )

@@ -123,6 +123,16 @@ def a5_cell_area(cell: pd.Series) -> pd.Series:
     return pd.Series(cell_area(res))
 
 
+@F.pandas_udf(DoubleType())
+def a5_cell_area_exact(cell: pd.Series) -> pd.Series:
+    """Exact spherical-pentagon area in m^2 (Van Oosterom-Strackee fan over
+    the cell boundary; reference a5/geometry/spherical_polygon.py:232-265)."""
+    from a5spark.kernels.area import cell_area_exact
+
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    return pd.Series(cell_area_exact(cells))
+
+
 def haversine_m(lat1, lon1, lat2, lon2):
     """Great-circle distance in meters as a native column expression
     (authalic-radius sphere). JVM-side — used for kNN distance refinement."""

@@ -199,3 +199,51 @@ def test_random_oracle_encode_decode():
         for k in range(0, N, 50):
             rl = ref_c2l(int(got[k]))
             assert abs(lo[k] - rl[0]) < 1e-10 and abs(la[k] - rl[1]) < 1e-10
+
+
+@needs_ref
+def test_spherical_polygon_area_matches_reference():
+    """Van Oosterom-Strackee fan parity: same vertex sets through the batched
+    kernel and the reference SphericalPolygonShape, plus the exact cell-area
+    UDF kernel averaging to the nominal per-resolution cell area."""
+    import sys
+
+    import numpy as np
+
+    from tests.conftest import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import a5
+    from a5.core.coordinate_transforms import from_lonlat as ref_from_lonlat
+    from a5.core.coordinate_transforms import to_cartesian as ref_to_cartesian
+    from a5.geometry.spherical_polygon import SphericalPolygonShape
+
+    from a5spark.kernels.area import cell_area_exact, spherical_polygon_area
+    from a5spark.kernels.cell_info import cell_area
+    from a5spark.kernels.serialization import get_resolution
+
+    pts = [(-0.1276, 51.5074), (139.76, 35.68), (-73.98, 40.75), (151.2, -33.87),
+           (18.42, -33.92), (-170.0, -60.0)]
+    cells, want = [], []
+    for res in (2, 5, 9, 15):  # boundary vertex counts are uniform per res
+        vert_sets, res_want = [], []
+        for lonlat in pts:
+            c = a5.lonlat_to_cell(lonlat, res)
+            ring = a5.cell_to_boundary(c)[:-1]  # open ring
+            verts = [ref_to_cartesian(ref_from_lonlat(tuple(p))) for p in ring]
+            res_want.append(SphericalPolygonShape(verts).get_area())
+            vert_sets.append(np.asarray(verts))
+            cells.append(c)
+        got = spherical_polygon_area(np.stack(vert_sets))
+        assert np.allclose(got, np.asarray(res_want), rtol=1e-12, atol=1e-18)
+        want.extend(res_want)
+
+    # exact areas from the engine's own boundary kernel agree with the
+    # reference-shape areas to boundary precision, and stay near nominal
+    areas = cell_area_exact(np.asarray(cells, dtype=np.uint64))
+    R2 = 6371007.2**2
+    assert np.allclose(areas, np.asarray(want) * R2, rtol=1e-6)  # excess cancellation at fine res
+    nominal = cell_area(get_resolution(np.asarray(cells, dtype=np.uint64)))
+    ratio = areas / nominal
+    assert (ratio > 0.5).all() and (ratio < 2.0).all()
