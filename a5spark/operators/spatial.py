@@ -153,7 +153,6 @@ def compact_cover(
     a cover equal to the whole globe is better expressed upstream)."""
     from pyspark.sql import Window
 
-    from a5spark import cache
     from a5spark.functions.udfs import a5_cell_to_parent
 
     g = list(group_cols)
@@ -167,21 +166,18 @@ def compact_cover(
     r_hi = int(bounds.hi)
     r_lo = int(bounds.lo)
 
+    # Lazy descent — no per-level driver actions. Each level is one window
+    # shuffle keyed by parent; the survivors branch and the promoted branch
+    # share that shuffle via Spark's exchange reuse, so the chain costs one
+    # exchange per resolution level present in a single job.
     pieces = []
     level = cur.filter(F.col("__res") == r_hi).drop("__res")
     for r in range(r_hi, 0, -1):
         if r != r_hi:
-            level = level.unionByName(
-                cur.filter(F.col("__res") == r).drop("__res")
-            ).distinct()
-            if r < r_lo:
-                # below the input's finest data only promoted cells flow;
-                # short-circuit the descent once the stream runs dry (persist
-                # so the probe job isn't recomputed by the final union)
-                level = cache.persist(level)
-                if level.isEmpty():
-                    level = level.limit(0)
-                    break
+            at_r = cur.filter(F.col("__res") == r).drop("__res")
+            level = (
+                level.unionByName(at_r).distinct() if r >= r_lo else level
+            )
         size = 4 if r >= 2 else 5
         if r >= 3:
             parent = native.cell_to_parent(F.col("__c"), r - 1)

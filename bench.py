@@ -30,6 +30,7 @@ def _sf_of(path: str) -> float:
 
 
 def run_queries(spark, sf_dir):
+    from a5spark import cache
     from a5spark.entry_queries import QUERIES
 
     times = {}
@@ -40,6 +41,7 @@ def run_queries(spark, sf_dir):
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         rowcounts[name] = n
+        cache.release_persisted()
     return times, rowcounts
 
 
