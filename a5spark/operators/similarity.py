@@ -220,31 +220,36 @@ def lsh_bucket_topk(
          and the whole pipeline is oracle-expressible.
 
     Returns (query_id, rank, point_id, qdot)."""
-    q = queries.select(
+    # the bucket join carries only ids (the explode duplicates rows
+    # n_tables-fold — shipping vectors through it would multiply shuffle
+    # bytes); vectors join back onto the deduped pairs, quantized once per
+    # input row
+    qb = queries.select(
         F.col(query_id),
-        F.col(vec).alias("__qv"),
         F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
             "__t", "__bucket"
         ),
     )
-    p = points.select(
+    pb = points.select(
         F.col(point_id),
-        F.col(vec).alias("__pv"),
         F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
             "__t", "__bucket"
         ),
     )
-    cand = (
-        q.join(p, ["__t", "__bucket"])
+    pairs = (
+        qb.join(pb, ["__t", "__bucket"])
+        .select(query_id, point_id)
         .dropDuplicates([query_id, point_id])
+    )
+    qv = queries.select(F.col(query_id), quantize(F.col(vec), scale).alias("__qv"))
+    pv = points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    cand = (
+        pairs.join(F.broadcast(qv), query_id)  # queries are the small side
+        .join(pv, point_id)  # AQE picks broadcast vs shuffle for points
         .withColumn(
             "qdot",
             F.aggregate(
-                F.zip_with(
-                    quantize(F.col("__qv"), scale),
-                    quantize(F.col("__pv"), scale),
-                    lambda a, b: a * b,
-                ),
+                F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ),

@@ -22,6 +22,12 @@ AUDIT = [
     "pip_join",
     "minhash_lsh",
     "ann_quantized",
+    "ann_lsh",
+    "compact_cover",
+    "cover_set_ops",
+    "tile_pyramid",
+    "line_trace",
+    "hex_roundtrip",
 ]
 
 
