@@ -1047,6 +1047,20 @@ def q_polyfill_cover(spark, sf_dir):
     ).orderBy("polygon_id")
 
 
+def oracle_polyfill_cover():
+    # the polygon layer is FIXED (sf-independent) and the fill kernel is
+    # fixture-pinned against the reference (tests/test_fixture_full.py), so
+    # the expected compacted-cover stats are exact constants
+    return """
+    SELECT * FROM (VALUES
+      ('alps_tri', CAST(32 AS BIGINT), CAST(6 AS INT), CAST(7 AS INT)),
+      ('horn',     CAST(122 AS BIGINT), CAST(4 AS INT), CAST(7 AS INT)),
+      ('uk_box',   CAST(83 AS BIGINT), CAST(4 AS INT), CAST(7 AS INT))
+    ) AS t(polygon_id, n_cells, min_res, max_res)
+    ORDER BY polygon_id
+    """
+
+
 def q_pip_join(spark, sf_dir):
     """Point-in-polygon join: images vs the polygon layer (cover join +
     exact PIP refine). Rows-only check."""
@@ -1259,6 +1273,7 @@ ORACLES = {
     "ann_quantized": oracle_ann_quantized(),
     "ann_lsh": oracle_ann_lsh(),
     "multires_rollup": oracle_multires_rollup(),
+    "polyfill_cover": oracle_polyfill_cover(),
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
     "radius_join": oracle_radius_join(),

@@ -167,3 +167,113 @@ def test_streaming_cell_density(tmp_path, spark):
     # totals must match the batch pipeline over the same data
     total_stream = out.agg({"n_events": "sum"}).collect()[0][0]
     assert total_stream == events.count()
+
+
+def test_pip_refine_matches_kernel(spark):
+    """Distributed (mapInPandas-streamed) PIP refine must keep exactly the
+    rows the kernel's prepared-polygon containment keeps."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from a5spark.kernels.polyfill import PreparedPolygon, point_in_prepared_polygon
+    from a5spark.kernels.transforms import from_lonlat, to_cartesian
+    from a5spark.operators.polygons import (
+        _prepare_rings,
+        pip_refine,
+        point_in_polygon_join,
+        polyfill_cover,
+    )
+    from a5spark.operators.spatial import assign_cells
+    from a5spark.sources.images import images_from_sf_dir
+
+    polys = [
+        ("atl", [[[-40.0, 10.0], [-10.0, 10.0], [-10.0, 40.0], [-40.0, 40.0]]]),
+        ("pac", [[[150.0, -20.0], [179.0, -20.0], [179.0, 10.0], [150.0, 10.0]]]),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, json.dumps(r)) for pid, r in polys], ["polygon_id", "rings_json"]
+    )
+    cover = polyfill_cover(pdf, resolution=6)
+    img = assign_cells(images_from_sf_dir(spark, SF_DIR), 9)
+    joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
+    cand = joined.select("polygon_id", "image_id", "lon", "lat").collect()
+    assert len(cand) > 0
+    refined = pip_refine(joined, pdf).select("polygon_id", "image_id").collect()
+    got = {(r.polygon_id, r.image_id) for r in refined}
+    want = set()
+    preps = {pid: _prepare_rings(json.dumps(r)) for pid, r in polys}
+    for r in cand:
+        th, ph = from_lonlat(np.array([r.lon]), np.array([r.lat]))
+        pts = to_cartesian(th, ph)
+        if point_in_prepared_polygon(pts, preps[r.polygon_id])[0]:
+            want.add((r.polygon_id, r.image_id))
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(tmp_path, spark):
+    """Stateful streaming sessionization (applyInPandasWithState) must close
+    exactly the sessions the batch window-function form closes; each user's
+    final session stays open in state (no timeout fires in a single
+    availableNow batch)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from a5spark.streaming.density import run_available_now
+    from a5spark.streaming.sessions import streaming_sessions
+
+    src = str(tmp_path / "events_src2")
+    ckpt = str(tmp_path / "ckpt_sessions")
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    events.write.mode("overwrite").parquet(src)
+
+    stream_df = streaming_sessions(spark, src, events.schema, gap="30 minutes")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+
+    # batch reference: same gap rule via window functions
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = ev.withColumn(
+        "new_session", (gap.isNull() | (gap > 1800 * 1000000)).cast("int")
+    ).withColumn("session_idx", F.sum("new_session").over(w))
+    batch = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .collect()
+    )
+    last_idx = {}
+    for r in batch:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, -1), r.session_idx)
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in batch
+    }
+    closed_by_gap = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in batch
+        if r.session_idx != last_idx[r.user_id]
+    }
+    # every gap-closed session must be emitted with identical bounds/stats;
+    # final sessions may additionally close via watermark timeout (availableNow
+    # can run several micro-batches, advancing the watermark between them)
+    assert closed_by_gap <= got <= all_sessions
+    assert len(closed_by_gap) > 0
