@@ -1187,6 +1187,35 @@ def q_image_stats(spark, sf_dir):
 _TILE_SNAPSHOT = "/tmp/a5spark_oracle/tile_assigned_r8"
 
 
+def q_image_checksums(spark, sf_dir):
+    """Decoded-pixel value gate: integer R-channel and total byte sums per
+    image, compared bit-for-bit against DuckDB's closed-form evaluation of
+    the rgb8 pixel pattern — proves the binary decode path end-to-end."""
+    from a5spark.operators.multimodal import image_checksums
+
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=True).filter(
+        F.col("k") % 75 == 0
+    )
+    return image_checksums(img).orderBy("image_id")
+
+
+def oracle_image_checksums():
+    return """
+    WITH img AS (
+      SELECT printf('img_%012d', o_orderkey) AS image_id,
+             CAST(32 + (o_orderkey % 8) * 8 AS BIGINT) AS w,
+             CAST(32 + (o_orderkey % 5) * 8 AS BIGINT) AS h,
+             o_orderkey % 251 + 1 AS a, o_orderkey % 65521 AS b
+      FROM orders WHERE o_orderkey % 75 = 0
+    )
+    SELECT image_id, CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN (i * a + b) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum((i * a + b) % 256) AS BIGINT) AS sum_all
+    FROM img, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+    GROUP BY image_id ORDER BY image_id
+    """
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster tile pyramid keyed by pentagon cell at res 4/5. The res-8
     assignment is snapshot to parquet; the oracle independently rolls up the
@@ -1251,6 +1280,7 @@ QUERIES = {
     "line_trace": q_line_trace,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
+    "image_checksums": q_image_checksums,
     "tile_pyramid": q_tile_pyramid,
 }
 
@@ -1276,6 +1306,7 @@ ORACLES = {
     "polyfill_cover": oracle_polyfill_cover(),
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
+    "image_checksums": oracle_image_checksums(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
 }

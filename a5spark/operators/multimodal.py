@@ -103,6 +103,46 @@ def image_stats(df: DataFrame) -> DataFrame:
     )
 
 
+_CHECKSUM_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_all", LongType()),
+    ]
+)
+
+
+def image_checksums(df: DataFrame) -> DataFrame:
+    """Integer-exact decoded-pixel checksums per image (R-channel sum + total
+    byte sum): the value-level decode gate — unlike float stats, these compare
+    bit-for-bit against an independent engine's closed-form evaluation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, sr, sa = [], [], [], []
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = decode_image(data, int(w), int(h), fmt)
+                ids.append(img_id)
+                nb.append(px.size)
+                sr.append(int(px[..., 0].astype(np.int64).sum()))
+                sa.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "sum_r": pd.Series(sr, dtype="int64"),
+                    "sum_all": pd.Series(sa, dtype="int64"),
+                }
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, _CHECKSUM_SCHEMA
+    )
+
+
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize of the decoded pixels, re-encoded to rgb8.
     Codec formats raise NotImplementedError inside the kernel (stub)."""

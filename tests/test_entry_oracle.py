@@ -204,6 +204,41 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
+def test_cap_cover_mixed_resolution_batch(spark):
+    """a5_cap_cover must uncompact each row to ITS OWN resolution when a
+    batch mixes resolutions (regression: the target used to come from the
+    batch's first row)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.kernels.traversal import spherical_cap_batch
+    from a5spark.operators.knn import a5_cap_cover
+
+    lons = np.array([-0.1276, 139.76, -73.98, 18.42])
+    lats = np.array([51.5074, 35.68, 40.75, -33.92])
+    rows = []
+    for res in (5, 7):  # interleave resolutions within one batch
+        cells = to_signed(lonlat_to_cell(lons, lats, res))
+        rows += [(int(c), res) for c in cells]
+    df = spark.createDataFrame(rows, ["cell", "res"]).coalesce(1)
+    got = {
+        (r.cell, tuple(sorted(r.cover)))
+        for r in df.select(
+            "cell", a5_cap_cover(F.col("cell"), F.lit(150000.0)).alias("cover")
+        ).collect()
+    }
+    want = set()
+    for cell_signed, res in rows:
+        u = from_signed(np.array([cell_signed], dtype=np.int64))
+        _, cap = spherical_cap_batch(u, 150000.0)
+        cover = to_signed(uncompact(cap, res))
+        want.add((cell_signed, tuple(sorted(int(c) for c in cover))))
+    assert got == want
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
