@@ -141,6 +141,15 @@ def polygon_to_cells(polygon, resolution: int):
     return [int(v) for v in _poly.polygon_to_cells(polygon, resolution)]
 
 
+# drop-in type aliases (reference a5/core/coordinate_systems.py:10-11,
+# a5/core/utils.py A5Cell): plain NewTypes, for code written against a5-py
+from typing import NewType
+
+Degrees = NewType("Degrees", float)
+Radians = NewType("Radians", float)
+A5Cell = NewType("A5Cell", int)
+
+
 def hex_to_u64(h: str) -> int:
     return int(h, 16)
 
@@ -156,4 +165,5 @@ __all__ = [
     "uncompact", "get_cell_neighbors", "grid_disk", "grid_disk_vertex",
     "spherical_cap", "line_string_to_cells", "polygon_to_cells",
     "hex_to_u64", "u64_to_hex", "MAX_RESOLUTION", "WORLD_CELL",
+    "Degrees", "Radians", "A5Cell",
 ]
