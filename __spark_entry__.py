@@ -24,9 +24,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from a5spark import cache
     from a5spark.entry_queries import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark, sf_dir):
+            # release the PREVIOUS query's registered persists before building
+            # the next pipeline, so a driver running the whole registry in one
+            # session doesn't accumulate executor storage (the frames a query
+            # persists stay cached until its successor starts)
+            cache.release_persisted()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -141,13 +141,21 @@ def polygon_to_cells(polygon, resolution: int):
     return [int(v) for v in _poly.polygon_to_cells(polygon, resolution)]
 
 
-# drop-in type aliases (reference a5/core/coordinate_systems.py:10-11,
-# a5/core/utils.py A5Cell): plain NewTypes, for code written against a5-py
-from typing import NewType
+# drop-in type aliases (reference a5/core/coordinate_systems.py:10-11) and
+# the deserialized-cell TypedDict (reference a5/core/utils.py:28-36)
+from typing import NewType, TypedDict
 
 Degrees = NewType("Degrees", float)
 Radians = NewType("Radians", float)
-A5Cell = NewType("A5Cell", int)
+
+
+class A5Cell(TypedDict):
+    """Deserialized cell position (origin face, segment, Hilbert S, res)."""
+
+    origin: int
+    segment: int
+    S: int
+    resolution: int
 
 
 def hex_to_u64(h: str) -> int:

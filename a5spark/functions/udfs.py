@@ -99,6 +99,21 @@ def a5_cell_to_children(cell: pd.Series, child_resolution: pd.Series) -> pd.Seri
 
 
 @F.pandas_udf(ArrayType(LongType()))
+def a5_uncompact(cell: pd.Series, target_resolution: pd.Series) -> pd.Series:
+    """Full-regime descendant expansion (res -1..30 parents, incl. the res-0/1
+    marker layouts) via the kernel uncompact; the Hilbert-range fast path is
+    the native sequence expression (functions.native.cell_children)."""
+    from a5spark.kernels.compact import uncompact as kuncompact
+
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    tr = target_resolution.to_numpy()
+    out = [None] * len(cells)
+    for i in range(len(cells)):
+        out[i] = kser.to_signed(kuncompact(cells[i : i + 1], int(tr[i]))).tolist()
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
 def a5_line_to_cells(waypoints: pd.Series, resolution: pd.Series) -> pd.Series:
     """Ordered cell trace of a lonlat polyline (reference
     a5/traversal/line.py:15-92): per-row kernel call (trajectories vary in

@@ -186,6 +186,9 @@ def pip_refine(
             pts = to_cartesian(th, ph)
             grouped = pd.Series(pos).groupby(pdf[id_col].to_numpy(), sort=False)
             for pid, idx in grouped.indices.items():
+                if pid not in bc.value:
+                    continue  # unknown polygon id: filter, matching the old
+                    # inner-join semantics (keep[] stays False)
                 key = (bid, pid)
                 prep = _PREP_CACHE.get(key)
                 if prep is None:

@@ -165,6 +165,9 @@ def compact_cover(
         return df.select(*g, F.col(cell)).limit(0)
     r_hi = int(bounds.hi)
     r_lo = int(bounds.lo)
+    if r_hi < 1:
+        # nothing to collapse (res-0/world cells only); pass through deduped
+        return cur.drop("__res").withColumnRenamed("__c", cell)
 
     # Lazy descent — no per-level driver actions. Each level is one window
     # shuffle keyed by parent; the survivors branch and the promoted branch
@@ -205,16 +208,26 @@ def compact_cover(
 def uncompact_cover(
     cover: DataFrame, target_resolution: int, cell: str = "cell", group_cols=()
 ) -> DataFrame:
-    """Expand a (possibly mixed-resolution) cover to a single fine resolution
-    via the native children sequence — JVM-side, explode-based."""
+    """Expand a (possibly mixed-resolution) cover to a single fine resolution.
+    Hilbert-regime cells (res >= 2) expand via the native children sequence
+    (JVM explode); res-0/1 cells — whose marker layout and aperture differ —
+    route through the full-regime kernel UDF."""
+    from a5spark.functions.udfs import a5_uncompact
+
     g = list(group_cols)
     res = native.cell_resolution(F.col(cell))
-    return cover.select(
+    staged = cover.withColumn("__r", res)
+    hilbert = staged.filter(F.col("__r") >= 2).select(
         *g,
         F.explode(
-            native.cell_children(F.col(cell), res, target_resolution)
+            native.cell_children(F.col(cell), F.col("__r"), target_resolution)
         ).alias(cell),
     )
+    low = staged.filter(F.col("__r") < 2).select(
+        *g,
+        F.explode(a5_uncompact(F.col(cell), F.lit(target_resolution))).alias(cell),
+    )
+    return hilbert.unionByName(low)
 
 
 def cover_union(

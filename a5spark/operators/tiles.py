@@ -99,22 +99,32 @@ def _make_tile_assembler(px: int):
     """Vectorized tile assembly: one numpy scatter + log/normalize pass over
     ALL tiles in an Arrow batch (pix/cnt are each cell's paired hit arrays)."""
 
+    # bound the dense scratch grids to ~64 MB per chunk regardless of the
+    # Arrow batch size (10k tiles x 64^2 px would otherwise peak ~0.7 GB)
+    chunk_rows = max(1, (64 << 20) // (8 * px * px))
+
     @F.pandas_udf(BinaryType())
     def assemble(pix: pd.Series, cnt: pd.Series) -> pd.Series:
-        g = len(pix)
-        if g == 0:
+        n_rows = len(pix)
+        if n_rows == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter((len(p) for p in pix), dtype=np.int64, count=g)
-        row_idx = np.repeat(np.arange(g, dtype=np.int64), lens)
-        flat_pix = np.concatenate([np.asarray(p, dtype=np.int64) for p in pix])
-        flat_cnt = np.concatenate([np.asarray(c, dtype=np.int64) for c in cnt])
-        grids = np.zeros((g, px * px), dtype=np.int64)
-        grids[row_idx, flat_pix] = flat_cnt
-        scaled = np.log1p(grids.astype(np.float64))
-        mx = scaled.max(axis=1)
-        mx[mx == 0.0] = 1.0
-        tiles = (scaled / mx[:, None] * 255.0).astype(np.uint8)
-        return pd.Series([t.tobytes() for t in tiles])
+        out = []
+        for lo in range(0, n_rows, chunk_rows):
+            p_chunk = pix.iloc[lo : lo + chunk_rows]
+            c_chunk = cnt.iloc[lo : lo + chunk_rows]
+            g = len(p_chunk)
+            lens = np.fromiter((len(p) for p in p_chunk), dtype=np.int64, count=g)
+            row_idx = np.repeat(np.arange(g, dtype=np.int64), lens)
+            flat_pix = np.concatenate([np.asarray(p, dtype=np.int64) for p in p_chunk])
+            flat_cnt = np.concatenate([np.asarray(c, dtype=np.int64) for c in c_chunk])
+            grids = np.zeros((g, px * px), dtype=np.int64)
+            grids[row_idx, flat_pix] = flat_cnt
+            scaled = np.log1p(grids.astype(np.float64))
+            mx = scaled.max(axis=1)
+            mx[mx == 0.0] = 1.0
+            tiles = (scaled / mx[:, None] * 255.0).astype(np.uint8)
+            out.extend(t.tobytes() for t in tiles)
+        return pd.Series(out)
 
     return assemble
 

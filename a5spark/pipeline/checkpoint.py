@@ -72,15 +72,25 @@ def run_partitioned(
         ).partitionBy("part").parquet(path)
         # derive committed counts from the files just written (one metadata
         # scan) — recomputing part_df could diverge for nondeterministic
-        # sources, and the manifest must describe what is actually on disk
-        counts = {
-            r["part"]: r["n"]
-            for r in spark.read.parquet(path)
-            .filter(F.col("part").isin(batch))
-            .groupBy("part")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # sources, and the manifest must describe what is actually on disk.
+        # Read ONLY this batch's partition directories (listing the whole
+        # dataset per batch is O(n_parts^2) cumulative work; a batch whose
+        # parts were all empty wrote no directories at all).
+        batch_dirs = [
+            os.path.join(path, f"part={p}")
+            for p in batch
+            if os.path.isdir(os.path.join(path, f"part={p}"))
+        ]
+        counts = {}
+        if batch_dirs:
+            counts = {
+                r["part"]: r["n"]
+                for r in spark.read.option("basePath", path)
+                .parquet(*batch_dirs)
+                .groupBy("part")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         for p in batch:
             entry = {
                 "part": p,

@@ -10,6 +10,14 @@ times the open state out.
 State is O(#active users); the watermark bounds it. Output rows are closed
 sessions — an append-mode sink (the batch form needs a full re-shuffle per
 run; the streaming form pays one keyed state lookup per event).
+
+Late-data semantics: events are sorted within each micro-batch, so in-order
+streams match the batch window-function split exactly. A cross-batch late
+event (admitted by the watermark) merges into the open session when it lands
+within `gap` of the session's span — widening the start, never moving the end
+backwards; a late event older than that is emitted as its own single-event
+session (the session it might have bridged may already be emitted — the
+standard bounded approximation of single-pass gap sessionization).
 """
 
 import datetime
@@ -96,10 +104,19 @@ def make_sessionizer(gap_us: int):
             elif ev_us - l > gap_us:
                 out.append(_emit(user_id, s, l, n, t))
                 s, l, n, t = ev_us, ev_us, 1, float(v)
-            else:
-                l = ev_us
+            elif ev_us >= s - gap_us:
+                # in-order events extend the end; a cross-batch LATE event
+                # (ev < l, admitted by the watermark) merges into the open
+                # session without moving its end backwards
+                s = min(s, ev_us)
+                l = max(l, ev_us)
                 n += 1
                 t += float(v)
+            else:
+                # late event older than the open session's reach: emit it as
+                # its own session (a bridge to an already-emitted session can
+                # no longer be repaired — bounded, documented approximation)
+                out.append(_emit(user_id, ev_us, ev_us, 1, float(v)))
         state.update((s, l, n, t))
         # time the open session out once the watermark passes last + gap
         state.setTimeoutTimestamp(l // 1000 + gap_us // 1000)

@@ -239,6 +239,31 @@ def test_cap_cover_mixed_resolution_batch(spark):
     assert got == want
 
 
+def test_uncompact_cover_low_resolution_cells(spark):
+    """uncompact_cover must expand res-0/1 cells (non-Hilbert marker layouts)
+    through the full-regime kernel path, matching kernels.compact.uncompact."""
+    import numpy as np
+
+    from a5spark.kernels.compact import uncompact as kuncompact
+    from a5spark.kernels.serialization import from_signed, to_signed
+    from a5spark.operators.spatial import uncompact_cover
+
+    # one res-0 cell, one res-1 cell, one res-2 cell
+    from a5spark.kernels.serialization import res0_cells
+
+    r0 = res0_cells()[3]
+    r1 = kuncompact(np.array([r0], dtype=np.uint64), 1)[2]
+    r2 = kuncompact(np.array([r1], dtype=np.uint64), 2)[1]
+    cells = np.array([r0, r1, r2], dtype=np.uint64)
+    df = spark.createDataFrame([(int(c),) for c in to_signed(cells)], ["cell"])
+    got = sorted(
+        int(from_signed(np.array([r.cell], dtype=np.int64))[0])
+        for r in uncompact_cover(df, 3).collect()
+    )
+    want = sorted(int(c) for c in kuncompact(cells, 3))
+    assert got == want
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
