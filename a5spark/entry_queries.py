@@ -627,6 +627,96 @@ def oracle_simhash():
     """
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate join over 32-bit signatures: banded
+    (pigeonhole-complete for hamming <= 3 over 4 bands) bucket self-join +
+    exact bit_count(xor) verify — the scalable simhash dedup JOIN, not just
+    signatures."""
+    from a5spark.operators.dedup import simhash_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup(docs, bits=32, bands=4, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def oracle_simhash_neardup():
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+    ), contrib AS (
+      SELECT doc_id, bit,
+             sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS s
+      FROM toks, unnest(generate_series(0, 31)) AS b(bit)
+      GROUP BY doc_id, bit
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> CAST(b * 8 AS INT)) & 255 AS slice
+      FROM sig, unnest(generate_series(0, 3)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.slice = b.slice AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH candidate
+    self-join + integer-exact cosine >= 0.4 threshold (int8-scale quantized,
+    dot^2 * 25 >= 4 * |a|^2 * |b|^2) — the embedding dedup mode."""
+    from a5spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(
+        emb, dim=_LSH_DIM, threshold_num=4, threshold_den=25,
+        n_bits=_LSH_BITS, n_tables=_LSH_TABLES, scale=127,
+    ).orderBy("id_a", "id_b")
+
+
+def oracle_embed_neardup():
+    tables_sql = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t)} AS bucket FROM qv"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
+    ), buckets AS ({tables_sql}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(list_dot_product(na.v, nb.v) AS BIGINT) AS qdot,
+             na.n2 AS n2a, nb.n2 AS n2b
+      FROM pairs p
+      JOIN n na ON na.vec_id = p.id_a
+      JOIN n nb ON nb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, qdot FROM scored
+    WHERE qdot > 0 AND qdot * qdot * 25 >= 4 * n2a * n2b
+    ORDER BY id_a, id_b
+    """
+
+
 def q_text_profile(spark, sf_dir):
     """Token counts, sub-token counts and content fingerprint per document."""
     from a5spark.operators.text import bpe_ish_token_count, fingerprint, token_count
@@ -882,21 +972,24 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("q_id", "rank", "vec_id", "qdot").orderBy("q_id", "rank")
 
 
-def oracle_ann_lsh():
+def _sql_bucket_expr(t: int) -> str:
+    """Banded-LSH bucket id for table t as SQL over a quantized list column
+    `v` — the same md5-derived sign literals the Catalyst expression bakes."""
     from a5spark.operators.similarity import hyperplane_signs
 
-    def bucket_expr(t: int) -> str:
-        bits = []
-        for b in range(_LSH_BITS):
-            signs = hyperplane_signs(t, b, _LSH_DIM)
-            lit = "[" + ",".join(str(s) for s in signs) + "]"
-            bits.append(
-                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
-            )
-        return " + ".join(bits)
+    bits = []
+    for b in range(_LSH_BITS):
+        signs = hyperplane_signs(t, b, _LSH_DIM)
+        lit = "[" + ",".join(str(s) for s in signs) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(bits)
 
+
+def oracle_ann_lsh():
     tables_sql = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, {bucket_expr(t)} AS bucket FROM qv"
+        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t)} AS bucket FROM qv"
         for t in range(_LSH_TABLES)
     )
     return f"""
@@ -1268,6 +1361,8 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "embed_neardup": q_embed_neardup,
     "text_profile": q_text_profile,
     "lang_id": q_lang_id,
     "ann_quantized": q_ann_quantized,
@@ -1298,6 +1393,8 @@ ORACLES = {
     "event_sessions": oracle_event_sessions(),
     "minhash_lsh": oracle_minhash_lsh(),
     "simhash": oracle_simhash(),
+    "simhash_neardup": oracle_simhash_neardup(),
+    "embed_neardup": oracle_embed_neardup(),
     "text_profile": oracle_text_profile(),
     "lang_id": oracle_lang_id(),
     "ann_quantized": oracle_ann_quantized(),

@@ -133,6 +133,50 @@ def simhash(
     )
 
 
+def simhash_neardup(
+    df: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate JOIN: band each signature into `bands` slices
+    (pigeonhole: any pair within max_hamming < bands differs in at most
+    bands-1 slices, so it collides on at least one band), bucket-join on
+    (band_idx, slice), then verify hamming distance exactly via
+    bit_count(xor). All JVM bit arithmetic — no all-pairs comparison."""
+    assert bits % bands == 0, "bits must split evenly into bands"
+    width = bits // bands
+    sig = simhash(df, bits, text, id_col)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
+    banded = sig.select(F.col(id_col), F.col("simhash"), band_idx).withColumn(
+        "slice",
+        _shru(F.col("simhash"), F.col("band_idx") * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        ),
+    )
+    a = banded.select(
+        "band_idx", "slice", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = banded.select(
+        "band_idx", "slice", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["band_idx", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def jaccard_pairs(
     pairs: DataFrame, docs: DataFrame, k: int = 5, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

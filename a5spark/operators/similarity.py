@@ -196,6 +196,81 @@ def hyperplane_buckets(
     return F.array(*buckets)
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold_num: int = 4,
+    threshold_den: int = 25,
+    n_bits: int = 3,
+    n_tables: int = 12,
+    scale: int = 127,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: banded-LSH candidate self-join +
+    integer-exact cosine threshold.
+
+    The predicate cos(a,b) >= sqrt(threshold_num/threshold_den) evaluates as
+    dot > 0 AND dot^2 * den >= num * |a|^2 * |b|^2 over int8-scale quantized
+    vectors (scale=127 keeps every product within int64) — bit-identical
+    across engines, so the full pipeline is oracle-expressible. Candidates
+    come from the same banded hyperplane LSH as lsh_bucket_topk (the result
+    is LSH-candidates intersect threshold — deterministic; recall follows
+    the band/table tuning)."""
+    b1 = df.select(
+        F.col(id_col).alias("id_a"),
+        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
+            "__t", "__b"
+        ),
+    )
+    b2 = df.select(
+        F.col(id_col).alias("id_b"),
+        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
+            "__t", "__b"
+        ),
+    )
+    pairs = (
+        b1.join(b2, ["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qv = df.select(
+        F.col(id_col),
+        quantize(F.col(vec), scale).alias("__v"),
+    ).withColumn(
+        "__n2",
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    a_side = qv.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__na")
+    )
+    b_side = qv.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2").alias("__nb")
+    )
+    scored = (
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    keep = (F.col("qdot") > 0) & (
+        F.col("qdot") * F.col("qdot") * threshold_den
+        >= F.lit(threshold_num) * F.col("__na") * F.col("__nb")
+    )
+    return scored.filter(keep).select("id_a", "id_b", "qdot")
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     points: DataFrame,
