@@ -1285,9 +1285,16 @@ def q_image_checksums(spark, sf_dir):
     image, compared bit-for-bit against DuckDB's closed-form evaluation of
     the rgb8 pixel pattern — proves the binary decode path end-to-end."""
     from a5spark.operators.multimodal import image_checksums
+    from a5spark.sources.images import _gen_image_bytes
 
-    img = images_from_sf_dir(spark, sf_dir, with_bytes=True).filter(
+    # filter BEFORE synthesizing bytes — the byte generator is a python UDF
+    # projection, so making the order explicit guarantees only the sampled
+    # rows pay the generation cost
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
         F.col("k") % 75 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
     )
     return image_checksums(img).orderBy("image_id")
 
