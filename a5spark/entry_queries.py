@@ -1181,6 +1181,67 @@ def q_pip_join(spark, sf_dir):
     ).orderBy("polygon_id")
 
 
+_FOCAL_SNAPSHOT = "/tmp/a5spark_oracle/focal_r6"
+
+
+def q_focal_smoothing(spark, sf_dir):
+    """Focal (neighborhood) smoothing of the cell density raster: per-cell
+    counts at res 6, then the mean over each cell's global-neighbor set
+    (a5_cell_neighbors UDF, reference traversal/global_neighbors.py). The
+    (cell, n) density and the exploded (cell, neighbor) adjacency are
+    snapshot to parquet so the oracle independently reproduces the focal
+    join+aggregate; the adjacency kernel itself is fixture-pinned."""
+    from a5spark.functions.udfs import a5_cell_neighbors
+    from a5spark.operators.spatial import assign_cells, cell_density
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 6)
+    dens = cell_density(img)
+    dens.write.mode("overwrite").parquet(f"{_FOCAL_SNAPSHOT}/density")
+    dens = spark.read.parquet(f"{_FOCAL_SNAPSHOT}/density")
+    adj = dens.select(
+        "cell", F.explode(a5_cell_neighbors(F.col("cell"))).alias("nbr")
+    )
+    adj.write.mode("overwrite").parquet(f"{_FOCAL_SNAPSHOT}/adjacency")
+    adj = spark.read.parquet(f"{_FOCAL_SNAPSHOT}/adjacency")
+    nb = dens.select(F.col("cell").alias("nbr"), F.col("n").alias("nbr_n"))
+    focal = (
+        adj.join(nb, "nbr", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(F.coalesce(F.col("nbr_n"), F.lit(0))).cast("long").alias("nbr_sum"),
+        )
+    )
+    return (
+        dens.join(focal, "cell")
+        .select(
+            "cell",
+            F.col("n").cast("long").alias("n"),
+            "n_neighbors",
+            "nbr_sum",
+            F.round(F.col("nbr_sum") / F.col("n_neighbors"), 6).alias("focal_mean"),
+        )
+        .orderBy("cell")
+    )
+
+
+def oracle_focal_smoothing():
+    return f"""
+    WITH dens AS (SELECT cell, n FROM read_parquet('{_FOCAL_SNAPSHOT}/density/*.parquet')),
+    adj AS (SELECT cell, nbr FROM read_parquet('{_FOCAL_SNAPSHOT}/adjacency/*.parquet')),
+    focal AS (
+      SELECT a.cell, CAST(count(*) AS BIGINT) AS n_neighbors,
+             CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS nbr_sum
+      FROM adj a LEFT JOIN dens d ON d.cell = a.nbr
+      GROUP BY a.cell
+    )
+    SELECT dens.cell, CAST(dens.n AS BIGINT) AS n, f.n_neighbors, f.nbr_sum,
+           round(CAST(f.nbr_sum AS DOUBLE) / f.n_neighbors, 6) AS focal_mean
+    FROM dens JOIN focal f ON f.cell = dens.cell
+    ORDER BY dens.cell
+    """
+
+
 def q_line_trace(spark, sf_dir):
     """Trajectory -> ordered cell trace -> corridor density: fixed polylines
     traced at res 7 (a5_line_to_cells UDF, reference a5/traversal/line.py),
@@ -1380,6 +1441,7 @@ QUERIES = {
     "polyfill_cover": q_polyfill_cover,
     "pip_join": q_pip_join,
     "line_trace": q_line_trace,
+    "focal_smoothing": q_focal_smoothing,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
     "image_checksums": q_image_checksums,
@@ -1411,6 +1473,7 @@ ORACLES = {
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
+    "focal_smoothing": oracle_focal_smoothing(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
 }

@@ -99,6 +99,26 @@ def a5_cell_to_children(cell: pd.Series, child_resolution: pd.Series) -> pd.Seri
 
 
 @F.pandas_udf(ArrayType(LongType()))
+def a5_cell_neighbors(cell: pd.Series) -> pd.Series:
+    """Global neighbors of each cell (across quintant/face boundaries;
+    reference a5/traversal/global_neighbors.py:78-124), sorted-set order.
+    Mixed-resolution batches group per resolution."""
+    from a5spark.kernels.neighbors import cell_neighbors_batch
+
+    cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
+    res = kser.get_resolution(cells)
+    out = [None] * len(cells)
+    for r in np.unique(res):
+        idx = np.where(res == r)[0]
+        rows, nbrs = cell_neighbors_batch(cells[idx])
+        signed = kser.to_signed(nbrs)
+        bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
+        for j in range(len(idx)):
+            out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
 def a5_uncompact(cell: pd.Series, target_resolution: pd.Series) -> pd.Series:
     """Full-regime descendant expansion (res -1..30 parents, incl. the res-0/1
     marker layouts) via the kernel uncompact; the Hilbert-range fast path is

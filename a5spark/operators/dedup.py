@@ -180,7 +180,15 @@ def simhash_neardup(
 def jaccard_pairs(
     pairs: DataFrame, docs: DataFrame, k: int = 5, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact shingle-Jaccard similarity for candidate pairs (verify step)."""
+    """Exact shingle-Jaccard similarity for candidate pairs (verify step).
+    Shingles are computed only for docs that appear in a candidate pair —
+    the verify cost scales with the candidate set, not the corpus."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
     sh = shingles(docs, text, k, id_col).dropDuplicates([id_col, "shingle"])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")
