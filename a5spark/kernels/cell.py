@@ -394,24 +394,22 @@ def spherical_to_cell(theta, phi, resolution: int, lonlat=None) -> np.ndarray:
         knife[sub[kn2]] = True
         unresolved = sub[~hit & ~kn2]
 
-    # --- scalar-exact fallback (reference-order search with math.* libm) ---
+    # --- scalar-exact fallback (reference-order search, math.* geodetic
+    # chain per row, curve/margin kernels batched across the residual rows —
+    # decision-identical to the per-row scalar search) ---
     resid = np.union1d(unresolved, np.where(knife)[0])
     if resid.size:
-        from .scalar_encode import encode_scalar, spherical_to_cell_scalar
+        from .scalar_encode import spiral_search_batch
 
         if lonlat is not None:
             lon_a, lat_a = lonlat
-            for r in resid:
-                keys[r] = np.uint64(
-                    encode_scalar(float(lon_a[r]), float(lat_a[r]), resolution)
-                )
+            keys[resid] = spiral_search_batch(
+                resid, resolution, lonlat=(lon_a[resid], lat_a[resid])
+            )
         else:
-            for r in resid:
-                keys[r] = np.uint64(
-                    spherical_to_cell_scalar(
-                        float(theta[r]), float(phi[r]), resolution
-                    )
-                )
+            keys[resid] = spiral_search_batch(
+                resid, resolution, theta_phi=(theta[resid], phi[resid])
+            )
     return keys
 
 

@@ -307,3 +307,251 @@ def spherical_to_cell_scalar(theta: float, phi: float, resolution: int) -> int:
 
     cells.sort(key=lambda kv: kv[1], reverse=True)
     return cells[0][0]
+
+
+# --- batched spiral search --------------------------------------------------
+# Decision-for-decision identical to spherical_to_cell_scalar, restructured so
+# the curve/serialization/pentagon kernels run ONCE over all rows' candidates
+# instead of per size-1 array (which dominated the scalar path's cost). Every
+# geodetic/trig quantity is still computed per row with math.* (the libm
+# parity requirement); the batched pieces (ij_to_s, s_to_cell, serialize,
+# pentagon_vertices, elementwise float algebra) are the very same numpy
+# functions the scalar path called with length-1 arrays, and numpy ufuncs are
+# per-element deterministic — so results are bitwise-identical by
+# construction (asserted against the scalar path in tests).
+
+
+def _estimate_inputs(face, origin_id, resolution):
+    """Per-row math.* prefix of _face_to_estimate: returns
+    (segment, orientation, quintant, i, j) — the curve descent itself is done
+    in one batch later."""
+    gamma = math.atan2(face[1], face[0])
+    quintant = (round(gamma / TWO_PI_OVER_5) + 5) % 5
+    seg, orient = quintant_to_segment(np.array([quintant]), np.array([origin_id]))
+    fx, fy = face
+    if quintant != 0:
+        extra = 2 * PI_OVER_5 * quintant
+        c = math.cos(-extra)
+        s = math.sin(-extra)
+        fx, fy = c * face[0] - s * face[1], s * face[0] + c * face[1]
+    hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
+    sf = float(2 ** hres)
+    fx *= sf
+    fy *= sf
+    i = BASIS_INV[0, 0] * fx + BASIS_INV[0, 1] * fy
+    j = BASIS_INV[1, 0] * fx + BASIS_INV[1, 1] * fy
+    return int(seg[0]), int(orient[0]), quintant, i, j
+
+
+def _margins_batch(face_xy, hres, quintant, x, y, flavor):
+    """Batch twin of _cell_margin's edge loop: d = min(1.0, min over
+    negative-cross edges of cross/|p|). Same IEEE ops, order-independent."""
+    verts = pentagon_vertices(
+        np.full(x.shape, hres, dtype=np.int64), quintant, x, y, flavor
+    )
+    v2 = np.roll(verts, -1, axis=1)
+    dx = verts[..., 0] - v2[..., 0]
+    dy = verts[..., 1] - v2[..., 1]
+    px = face_xy[:, None, 0] - verts[..., 0]
+    py = face_xy[:, None, 1] - verts[..., 1]
+    cross = dx * py - dy * px
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = np.where(
+            cross < 0, cross / np.sqrt(px * px + py * py), np.inf
+        )
+    return np.minimum(1.0, contrib.min(axis=1))
+
+
+def spiral_search_batch(rows, resolution, lonlat=None, theta_phi=None):
+    """Reference-order spiral search for a batch of rows.
+
+    rows: list of row indices (for error messages only); geodetic inputs come
+    from `lonlat` (lon_arr, lat_arr — full reference chain) or `theta_phi`.
+    Returns uint64 keys, one per row."""
+    n = len(rows)
+    hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
+
+    # --- phase A: per-row math.* geometry, collecting candidate curve inputs
+    K = SPIRAL_SAMPLE_COUNT + 1  # estimate + spiral samples
+    c_orig = np.zeros((n, K), dtype=np.int64)
+    c_seg = np.zeros((n, K), dtype=np.int64)
+    c_orient = np.zeros((n, K), dtype=np.int64)
+    c_quint = np.zeros((n, K), dtype=np.int64)
+    c_i = np.zeros((n, K))
+    c_j = np.zeros((n, K))
+    carts = []
+    face_cache = []  # per row: {origin_id: (fx, fy)} of the ORIGINAL point
+    for r in range(n):
+        if lonlat is not None:
+            theta, phi = _from_lonlat(float(lonlat[0][r]), float(lonlat[1][r]))
+        else:
+            theta, phi = float(theta_phi[0][r]), float(theta_phi[1][r])
+        cart = _to_cartesian(theta, phi)
+        carts.append(cart)
+        cache = {}
+        face_cache.append(cache)
+        oid = _nearest_origin_spherical(theta, phi)
+        face = _dodec_forward(cart, oid)
+        cache[oid] = face
+        seg, orient, q, i, j = _estimate_inputs(face, oid, resolution)
+        c_orig[r, 0], c_seg[r, 0], c_orient[r, 0], c_quint[r, 0] = oid, seg, orient, q
+        c_i[r, 0], c_j[r, 0] = i, j
+
+        # spiral quaternion (pole -> point)
+        dot = cart[2]
+        if dot < -0.999999:
+            qt = (0.0, -math.sin(math.pi / 2), 0.0, math.cos(math.pi / 2))
+        elif dot > 0.999999:
+            qt = (0.0, 0.0, 0.0, 1.0)
+        else:
+            qx, qy, qz, qw = -cart[1], cart[0], 0.0, 1.0 + dot
+            ln = math.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+            inv = 1.0 / ln
+            qt = (qx * inv, qy * inv, qz * inv, qw * inv)
+        scale = _SPIRAL_SCALE_RAD / (2 ** hres)
+        for si in range(SPIRAL_SAMPLE_COUNT):
+            d = _tquat(_DIRS[si], qt)
+            R = ((si + 1) / (SPIRAL_SAMPLE_COUNT + 1)) * scale
+            sample = (cart[0] + d[0] * R, cart[1] + d[1] * R, cart[2] + d[2] * R)
+            s_oid = _nearest_origin_cartesian(sample)
+            s_face = _dodec_forward(sample, s_oid)
+            seg2, orient2, q2, i2, j2 = _estimate_inputs(s_face, s_oid, resolution)
+            col = si + 1
+            c_orig[r, col], c_seg[r, col] = s_oid, seg2
+            c_orient[r, col], c_quint[r, col] = orient2, q2
+            c_i[r, col], c_j[r, col] = i2, j2
+
+    # --- phase B: one batched curve/serialize/margin pass over N*K candidates
+    flat_orient = c_orient.ravel()
+    S = ij_to_s(c_i.ravel(), c_j.ravel(), hres, flat_orient)
+    keys = serialize(c_orig.ravel(), c_seg.ravel(), S, resolution).reshape(n, K)
+    x, y, z, flavor = s_to_cell(S, hres, flat_orient)
+    # margin of the ORIGINAL point vs each candidate pentagon, in the
+    # candidate origin's face frame (math.* per distinct (row, origin))
+    face_xy = np.zeros((n * K, 2))
+    flat_orig = c_orig.ravel()
+    for r in range(n):
+        cache = face_cache[r]
+        for col in range(K):
+            oid = int(flat_orig[r * K + col])
+            f = cache.get(oid)
+            if f is None:
+                f = _dodec_forward(carts[r], oid)
+                cache[oid] = f
+            face_xy[r * K + col] = f
+    margins = _margins_batch(
+        face_xy, hres, c_quint.ravel(), x, y, flavor
+    ).reshape(n, K)
+
+    # --- phase C: per-row reference-order sequencing over precomputed values
+    out = np.zeros(n, dtype=np.uint64)
+    pending = []  # rows entering the neighbor stage: (r, [(key, margin)...])
+    for r in range(n):
+        seen = set()
+        cells = []
+        answer = None
+        for col in range(K):
+            key = int(keys[r, col])
+            if key in seen:
+                continue
+            seen.add(key)
+            m = float(margins[r, col])
+            if m > 0:
+                answer = key
+                break
+            cells.append((key, m))
+        if answer is not None:
+            out[r] = np.uint64(answer)
+        else:
+            cells.sort(key=lambda kv: kv[1], reverse=True)
+            pending.append((r, seen, cells))
+
+    if not pending:
+        return out
+
+    # --- phase D: neighbors of the best three candidates, batched per res
+    nb_keys_per_row = []
+    all_nb = []
+    for r, seen, cells in pending:
+        per = []
+        for k in range(min(3, len(cells))):
+            per.append(cells[k][0])
+        nb_keys_per_row.append(per)
+        all_nb.extend(per)
+    # neighbor sets per candidate key (grouped by key resolution)
+    from .neighbors import cell_neighbors_batch
+
+    uniq = np.unique(np.array(all_nb, dtype=np.uint64))
+    key_res = deserialize(uniq)[3]
+    nb_map = {}
+    for rr in np.unique(key_res):
+        grp = uniq[key_res == rr]
+        if rr >= FIRST_HILBERT_RESOLUTION:
+            rows_idx, nbrs = cell_neighbors_batch(grp)
+            bounds = np.searchsorted(rows_idx, np.arange(grp.size + 1))
+            for gi in range(grp.size):
+                nb_map[int(grp[gi])] = [
+                    int(v) for v in nbrs[bounds[gi] : bounds[gi + 1]]
+                ]
+        else:
+            from .neighbors import global_cell_neighbors_scalar
+
+            for c in grp:
+                nb_map[int(c)] = [int(v) for v in global_cell_neighbors_scalar(int(c))]
+
+    # margins for every (row, neighbor key) needed, batched by key resolution
+    flat_rows = []
+    flat_keys = []
+    for (r, seen, cells), per in zip(pending, nb_keys_per_row):
+        for k_key in per:
+            for nb in nb_map[k_key]:
+                if nb not in seen:
+                    flat_rows.append(r)
+                    flat_keys.append(nb)
+    nb_margin = {}
+    if flat_keys:
+        fk = np.array(flat_keys, dtype=np.uint64)
+        fr = np.array(flat_rows, dtype=np.int64)
+        o2, seg2, S2, res2 = deserialize(fk)
+        q2, orient2 = _seg_to_quint_batch(seg2, o2)
+        for rr in np.unique(res2):
+            m = res2 == rr
+            hr2 = int(rr) - FIRST_HILBERT_RESOLUTION + 1
+            x2, y2, z2, fl2 = s_to_cell(S2[m], hr2, orient2[m])
+            fxy = np.zeros((int(m.sum()), 2))
+            for ii, (r_i, o_i) in enumerate(zip(fr[m], o2[m])):
+                cache = face_cache[int(r_i)]
+                f = cache.get(int(o_i))
+                if f is None:
+                    f = _dodec_forward(carts[int(r_i)], int(o_i))
+                    cache[int(o_i)] = f
+                fxy[ii] = f
+            mg = _margins_batch(fxy, hr2, q2[m], x2, y2, fl2)
+            for ii, idx in enumerate(np.where(m)[0]):
+                nb_margin[(int(fr[idx]), int(fk[idx]))] = float(mg[ii])
+
+    for (r, seen, cells), per in zip(pending, nb_keys_per_row):
+        answer = None
+        for k_key in per:
+            for nb in nb_map[k_key]:
+                if nb in seen:
+                    continue
+                seen.add(nb)
+                m = nb_margin[(r, nb)]
+                if m > 0:
+                    answer = nb
+                    break
+                cells.append((nb, m))
+            if answer is not None:
+                break
+        if answer is None:
+            cells.sort(key=lambda kv: kv[1], reverse=True)
+            answer = cells[0][0]
+        out[r] = np.uint64(answer)
+    return out
+
+
+def _seg_to_quint_batch(segments, origins):
+    from .origins import segment_to_quintant
+
+    return segment_to_quintant(segments, origins)

@@ -247,3 +247,37 @@ def test_spherical_polygon_area_matches_reference():
     nominal = cell_area(get_resolution(np.asarray(cells, dtype=np.uint64)))
     ratio = areas / nominal
     assert (ratio > 0.5).all() and (ratio < 2.0).all()
+
+
+def test_spiral_batch_matches_scalar():
+    """The batched spiral fallback must be decision-for-decision identical to
+    the per-row scalar reference search (both entry forms, incl. res 30's
+    key-dedup order quirk)."""
+    import numpy as np
+
+    from a5spark.kernels.scalar_encode import (
+        _from_lonlat,
+        encode_scalar,
+        spherical_to_cell_scalar,
+        spiral_search_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 120
+    lon = rng.uniform(-180, 180, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    for res in (30, 15, 7):
+        want = np.array(
+            [encode_scalar(float(lon[i]), float(lat[i]), res) for i in range(n)],
+            dtype=np.uint64,
+        )
+        got = spiral_search_batch(list(range(n)), res, lonlat=(lon, lat))
+        assert np.array_equal(got, want), f"res {res} batch/scalar divergence"
+    th, ph = zip(*[_from_lonlat(float(lon[i]), float(lat[i])) for i in range(n)])
+    th, ph = np.array(th), np.array(ph)
+    want = np.array(
+        [spherical_to_cell_scalar(float(th[i]), float(ph[i]), 30) for i in range(n)],
+        dtype=np.uint64,
+    )
+    got = spiral_search_batch(list(range(n)), 30, theta_phi=(th, ph))
+    assert np.array_equal(got, want)
