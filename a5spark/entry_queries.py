@@ -427,8 +427,10 @@ def _sql_compact_chain(src: str, r_hi: int) -> str:
         else:  # child res 2 -> res-1 parent: quintant bits + marker bit 56
             shift = 1 << 58
             marker = 1 << 56
+        # sign-safe low-bit clear (DuckDB // truncates toward zero, which
+        # breaks bit-63 cells; the floor-mod form matches the unsigned shift)
         parts.append(
-            f"lvl{r} AS (SELECT c, (c // {shift}) * {shift} + {marker} AS p FROM {prev})"
+            f"lvl{r} AS (SELECT c, c - ((c % {shift} + {shift}) % {shift}) + {marker} AS p FROM {prev})"
         )
         parts.append(f"g{r} AS (SELECT p, count(*) AS n FROM lvl{r} GROUP BY p)")
         parts.append(
@@ -1242,6 +1244,50 @@ def oracle_focal_smoothing():
     """
 
 
+_HOTREGION_SNAPSHOT = "/tmp/a5spark_oracle/hot_density_r5"
+
+
+def q_hot_region_vectorize(spark, sf_dir):
+    """Raster -> vector: threshold the res-5 density raster (occupied cells)
+    and re-express the coverage footprint as a COMPACTED mixed-resolution
+    vector cover (the inverse of the tile-pyramid direction). The density
+    snapshot is parquet-backed; the oracle reproduces threshold + the full
+    per-level complete-sibling collapse in SQL."""
+    from a5spark.operators.spatial import assign_cells, cell_density, compact_cover
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
+    dens = cell_density(img)
+    dens.write.mode("overwrite").parquet(_HOTREGION_SNAPSHOT)
+    dens = spark.read.parquet(_HOTREGION_SNAPSHOT)
+    hot = dens.filter(F.col("n") >= 1).select("cell")
+    cover = compact_cover(hot)
+    return (
+        cover.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cell").alias("min_cell"),
+            F.max("cell").alias("max_cell"),
+        )
+        .orderBy("resolution")
+    )
+
+
+def oracle_hot_region_vectorize():
+    src = f"""
+      SELECT cell AS c FROM read_parquet('{_HOTREGION_SNAPSHOT}/*.parquet')
+      WHERE n >= 1
+    """
+    chain = _sql_compact_chain(src, 5)
+    return f"""
+    WITH {chain}
+    SELECT {_SQL_RES_OF_C} AS resolution,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           min(c) AS min_cell, max(c) AS max_cell
+    FROM (SELECT c, bit_count((c & -c) - 1) AS lsb FROM compacted)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_line_trace(spark, sf_dir):
     """Trajectory -> ordered cell trace -> corridor density: fixed polylines
     traced at res 7 (a5_line_to_cells UDF, reference a5/traversal/line.py),
@@ -1442,6 +1488,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "line_trace": q_line_trace,
     "focal_smoothing": q_focal_smoothing,
+    "hot_region_vectorize": q_hot_region_vectorize,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
     "image_checksums": q_image_checksums,
@@ -1474,6 +1521,7 @@ ORACLES = {
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
     "focal_smoothing": oracle_focal_smoothing(),
+    "hot_region_vectorize": oracle_hot_region_vectorize(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
 }
