@@ -371,14 +371,17 @@ _SQL_CELL6 = (
 
 
 def _sql_cover6(seed: str, threshold: int, full_q: int) -> str:
+    # the keep-filter hashes the CELL (q*256+s), not the key, so the kept
+    # subset has the same ~threshold/97 sparsity at EVERY scale factor
+    # (a per-key filter saturates to full coverage once keys >> cells)
     return f"""
       SELECT DISTINCT c FROM (
         SELECT {_SQL_CELL6} AS c
-        FROM (SELECT l_orderkey % 30 AS q, d % 256 AS s, (d // 256) % 97 AS keep
-              FROM (SELECT l_orderkey,
-                           CAST(('0x' || substring(md5('{seed}|' || l_orderkey::VARCHAR), 1, 15)) AS BIGINT) AS d
-                    FROM lineitem))
-        WHERE keep < {threshold}
+        FROM (SELECT q, s FROM (
+                SELECT l_orderkey % 30 AS q,
+                       CAST(('0x' || substring(md5('k|' || l_orderkey::VARCHAR), 1, 15)) AS BIGINT) % 256 AS s
+                FROM lineitem)
+              WHERE CAST(('0x' || substring(md5('{seed}|' || (q * 256 + s)::VARCHAR), 1, 15)) AS BIGINT) % 97 < {threshold})
         UNION ALL
         SELECT {full_q} * 288230376151711744 + i * 281474976710656 + 140737488355328
         FROM unnest(generate_series(0, 255)) AS t(i)
@@ -389,13 +392,20 @@ def _sql_cover6(seed: str, threshold: int, full_q: int) -> str:
 def _spark_cover6(spark, li, seed: str, threshold: int, full_q: int):
     k = F.col("l_orderkey")
     digest = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), k.cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit("k|"), k.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
     q = (k % 30).cast("long")
     s = digest % 256
-    keep = (native._shru(digest, 8) % 97) < threshold
+    cell_digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), (q * 256 + s).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (cell_digest % 97) < threshold
     cell = (
         native._shl(q, F.lit(58))
         + native._shl(s, F.lit(48))
@@ -458,7 +468,7 @@ def q_compact_cover(spark, sf_dir):
     from a5spark.operators.spatial import compact_cover
 
     cells = _spark_cover6(spark, _t(spark, sf_dir, "lineitem"), "a", 88, 3)
-    out = compact_cover(cells)
+    out = compact_cover(cells, resolution_bounds=(6, 6))
     return (
         out.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
         .agg(
@@ -486,29 +496,31 @@ def q_cover_set_ops(spark, sf_dir):
     """Compact-aware cover set ops: union / intersect / difference of two
     res-6 covers at a common resolution, re-compacted; per-(op, resolution)
     counts."""
-    from a5spark.operators.spatial import (
-        cover_difference,
-        cover_intersect,
-        cover_union,
-    )
+    from a5spark.operators.spatial import compact_cover, uncompact_cover
 
     li = _t(spark, sf_dir, "lineitem")
     a = _spark_cover6(spark, li, "a", 88, 3)
     b = _spark_cover6(spark, li, "b", 60, 4)
-    ops = {
-        "union": cover_union(a, b, 6),
-        "intersect": cover_intersect(a, b, 6),
-        "difference": cover_difference(a, b, 6),
-    }
-    out = None
-    for name, df in ops.items():
-        level = (
-            df.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
-            .withColumn("op", F.lit(name))
+    # tag every cell of a (outer-join) b with the set ops it belongs to, then
+    # run ONE compact descent partitioned by op (group_cols) — a third of the
+    # stages of three separate compacts, identical results
+    af = uncompact_cover(a, 6).withColumn("__a", F.lit(1))
+    bf = uncompact_cover(b, 6).withColumn("__b", F.lit(1))
+    both = af.join(bf, "cell", "full_outer")
+    tags = F.array_compact(
+        F.array(
+            F.lit("union"),
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), F.lit("intersect")),
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNull(), F.lit("difference")),
         )
-        out = level if out is None else out.unionByName(level)
-    return out.orderBy("op", "resolution")
+    )
+    tagged = both.select(F.explode(tags).alias("op"), "cell")
+    cover = compact_cover(tagged, group_cols=["op"], resolution_bounds=(6, 6))
+    return (
+        cover.groupBy("op", native.cell_resolution(F.col("cell")).alias("resolution"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .orderBy("op", "resolution")
+    )
 
 
 def oracle_cover_set_ops():
@@ -1260,7 +1272,7 @@ def q_hot_region_vectorize(spark, sf_dir):
     dens.write.mode("overwrite").parquet(_HOTREGION_SNAPSHOT)
     dens = spark.read.parquet(_HOTREGION_SNAPSHOT)
     hot = dens.filter(F.col("n") >= 1).select("cell")
-    cover = compact_cover(hot)
+    cover = compact_cover(hot, resolution_bounds=(5, 5))
     return (
         cover.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
         .agg(

@@ -133,7 +133,10 @@ def child_of_join(
 
 
 def compact_cover(
-    df: DataFrame, cell: str = "cell", group_cols=(), max_levels: int = 31
+    df: DataFrame,
+    cell: str = "cell",
+    group_cols=(),
+    resolution_bounds: tuple | None = None,
 ) -> DataFrame:
     """Distributed compact of a cell cover (reference a5/core/compact.py:69-142
     semantics): dedup, then collapse complete sibling groups finest->coarsest —
@@ -158,13 +161,18 @@ def compact_cover(
     g = list(group_cols)
     cur = df.select(*g, F.col(cell).alias("__c")).distinct()
     cur = cur.withColumn("__res", native.cell_resolution(F.col("__c")))
-    bounds = cur.agg(
-        F.min("__res").alias("lo"), F.max("__res").alias("hi")
-    ).first()
-    if bounds.hi is None:
-        return df.select(*g, F.col(cell)).limit(0)
-    r_hi = int(bounds.hi)
-    r_lo = int(bounds.lo)
+    if resolution_bounds is not None:
+        # caller-known range (e.g. a freshly uncompacted single-resolution
+        # cover) — skips the min/max probe job
+        r_lo, r_hi = int(resolution_bounds[0]), int(resolution_bounds[1])
+    else:
+        bounds = cur.agg(
+            F.min("__res").alias("lo"), F.max("__res").alias("hi")
+        ).first()
+        if bounds.hi is None:
+            return df.select(*g, F.col(cell)).limit(0)
+        r_hi = int(bounds.hi)
+        r_lo = int(bounds.lo)
     if r_hi < 1:
         # nothing to collapse (res-0/world cells only); pass through deduped
         return cur.drop("__res").withColumnRenamed("__c", cell)
@@ -176,11 +184,13 @@ def compact_cover(
     pieces = []
     level = cur.filter(F.col("__res") == r_hi).drop("__res")
     for r in range(r_hi, 0, -1):
-        if r != r_hi:
+        if r != r_hi and r >= r_lo:
+            # no per-level re-distinct: `cur` is globally deduped, promoted
+            # parents are rank-1-unique per parent key, and an input cell
+            # equal to a promoted parent would violate the documented
+            # ancestor precondition (the kernel relies on the same)
             at_r = cur.filter(F.col("__res") == r).drop("__res")
-            level = (
-                level.unionByName(at_r).distinct() if r >= r_lo else level
-            )
+            level = level.unionByName(at_r)
         size = 4 if r >= 2 else 5
         if r >= 3:
             parent = native.cell_to_parent(F.col("__c"), r - 1)
@@ -240,7 +250,7 @@ def cover_union(
         .unionByName(uncompact_cover(b, resolution, cell, group_cols))
         .distinct()
     )
-    return compact_cover(u, cell, group_cols) if compact else u
+    return compact_cover(u, cell, group_cols, (resolution, resolution)) if compact else u
 
 
 def cover_intersect(
@@ -254,7 +264,7 @@ def cover_intersect(
         .join(uncompact_cover(b, resolution, cell, group_cols), keys, "left_semi")
         .distinct()
     )
-    return compact_cover(i, cell, group_cols) if compact else i
+    return compact_cover(i, cell, group_cols, (resolution, resolution)) if compact else i
 
 
 def cover_difference(
@@ -268,7 +278,7 @@ def cover_difference(
         .join(uncompact_cover(b, resolution, cell, group_cols), keys, "left_anti")
         .distinct()
     )
-    return compact_cover(d, cell, group_cols) if compact else d
+    return compact_cover(d, cell, group_cols, (resolution, resolution)) if compact else d
 
 
 def salt_column(df: DataFrame, key: str, buckets: int, out: str = "__salt") -> DataFrame:
