@@ -359,9 +359,10 @@ def oracle_multires_rollup():
 
 
 # --- distributed compact / cover set ops -------------------------------------
-# Synthetic res-6 cover: q = k % 30, s = md5-digest(seed|k) % 256, rows kept
-# when the digest's upper bits clear a threshold — sibling groups complete
-# with controlled probability — plus one DETERMINISTICALLY complete quintant
+# Synthetic res-6 cover: the DATA decides which (q = k % 30, s = md5(k) % 256)
+# cells are hit, and a seed-keyed hash of the CELL id keeps ~threshold/97 of
+# them (scale-independent sparsity, so sibling groups complete with controlled
+# probability at every sf) — plus one DETERMINISTICALLY complete quintant
 # block (all 256 s values of q = full_q) that collapses res 6 -> 5 -> 4 -> 3
 # -> 2, exercising the multi-level descent.
 
@@ -423,30 +424,41 @@ def _spark_cover6(spark, li, seed: str, threshold: int, full_q: int):
 
 
 def _sql_compact_chain(src: str, r_hi: int) -> str:
-    """CTE chain replicating the finest->coarsest complete-sibling collapse
-    (4 Hilbert siblings per level; the child-res-2 level uses the res-1
-    quintant marker at bit 56). `src` must select a column c of res-r_hi
-    cells; returns SQL whose final CTE `compacted` selects column c."""
+    """CTE chain replicating the finest->coarsest complete-sibling collapse:
+    4 Hilbert siblings per level down to child res 2 (res-1 parents use the
+    quintant marker at bit 56), then 5 quintants of one origin collapse to a
+    res-0 cell (origin << 58 | 1 << 57) — same descent as compact_cover.
+    `src` must select a column c of res-r_hi cells; returns SQL whose final
+    CTE `compacted` selects column c."""
     parts = [f"src AS ({src})"]
     prev = "src"
     survivors = []
-    for r in range(r_hi, 1, -1):
+    for r in range(r_hi, 0, -1):
         if r >= 3:
             shift = 1 << (60 - 2 * (r - 1))
             marker = 1 << (59 - 2 * (r - 1))
-        else:  # child res 2 -> res-1 parent: quintant bits + marker bit 56
+            size = 4
+        elif r == 2:  # child res 2 -> res-1 parent: quintant bits + marker 56
             shift = 1 << 58
             marker = 1 << 56
+            size = 4
+        else:  # child res 1 -> res-0 parent: 5 quintants of one origin
+            shift = None
+            size = 5
         # sign-safe low-bit clear (DuckDB // truncates toward zero, which
         # breaks bit-63 cells; the floor-mod form matches the unsigned shift)
-        parts.append(
-            f"lvl{r} AS (SELECT c, c - ((c % {shift} + {shift}) % {shift}) + {marker} AS p FROM {prev})"
-        )
+        if shift is not None:
+            parent = f"c - ((c % {shift} + {shift}) % {shift}) + {marker}"
+        else:
+            sh58 = 1 << 58
+            qu = f"(((c - ((c % {sh58} + {sh58}) % {sh58})) // {sh58} + 64) % 64)"
+            parent = f"({qu} // 5) * {sh58} + {1 << 57}"
+        parts.append(f"lvl{r} AS (SELECT c, {parent} AS p FROM {prev})")
         parts.append(f"g{r} AS (SELECT p, count(*) AS n FROM lvl{r} GROUP BY p)")
         parts.append(
-            f"s{r} AS (SELECT c FROM lvl{r} JOIN g{r} USING (p) WHERE n < 4)"
+            f"s{r} AS (SELECT c FROM lvl{r} JOIN g{r} USING (p) WHERE n < {size})"
         )
-        parts.append(f"p{r} AS (SELECT p AS c FROM g{r} WHERE n = 4)")
+        parts.append(f"p{r} AS (SELECT p AS c FROM g{r} WHERE n = {size})")
         survivors.append(f"SELECT c FROM s{r}")
         prev = f"p{r}"
     survivors.append(f"SELECT c FROM {prev}")

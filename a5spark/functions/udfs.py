@@ -102,14 +102,25 @@ def a5_cell_to_children(cell: pd.Series, child_resolution: pd.Series) -> pd.Seri
 def a5_cell_neighbors(cell: pd.Series) -> pd.Series:
     """Global neighbors of each cell (across quintant/face boundaries;
     reference a5/traversal/global_neighbors.py:78-124), sorted-set order.
-    Mixed-resolution batches group per resolution."""
-    from a5spark.kernels.neighbors import cell_neighbors_batch
+    Mixed-resolution batches group per resolution; res-0/1 cells route
+    through the low-regime scalar path (the batch kernel requires res >= 2)."""
+    from a5spark.kernels.neighbors import (
+        cell_neighbors_batch,
+        global_cell_neighbors_scalar,
+    )
 
     cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
     res = kser.get_resolution(cells)
     out = [None] * len(cells)
     for r in np.unique(res):
         idx = np.where(res == r)[0]
+        if r < 2:
+            for i in idx:
+                nbrs = np.array(
+                    global_cell_neighbors_scalar(int(cells[i])), dtype=np.uint64
+                )
+                out[i] = kser.to_signed(nbrs).tolist()
+            continue
         rows, nbrs = cell_neighbors_batch(cells[idx])
         signed = kser.to_signed(nbrs)
         bounds = np.searchsorted(rows, np.arange(len(idx) + 1))

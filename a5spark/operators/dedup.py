@@ -147,6 +147,10 @@ def simhash_neardup(
     (band_idx, slice), then verify hamming distance exactly via
     bit_count(xor). All JVM bit arithmetic — no all-pairs comparison."""
     assert bits % bands == 0, "bits must split evenly into bands"
+    assert max_hamming < bands, (
+        "pigeonhole completeness requires max_hamming < bands: a pair may "
+        "differ in up to max_hamming distinct band slices"
+    )
     width = bits // bands
     sig = simhash(df, bits, text, id_col)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
@@ -188,7 +192,9 @@ def jaccard_pairs(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # no forced broadcast: the candidate-id set is unbounded (it scales with
+    # near-dup density), so let the optimizer pick broadcast vs shuffle
+    docs = docs.join(cand_ids, id_col, "left_semi")
     sh = shingles(docs, text, k, id_col).dropDuplicates([id_col, "shingle"])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_a")

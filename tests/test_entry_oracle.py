@@ -271,3 +271,31 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_sql_compact_chain_full_face_collapse():
+    """The generated SQL collapse chain must include the res-1 -> res-0 level:
+    a fully covered face collapses to its res-0 cell, matching the kernel
+    (regression: the chain used to stop at res-1)."""
+    import duckdb as _dd
+    import numpy as np
+
+    from a5spark.entry_queries import _sql_compact_chain
+    from a5spark.kernels.compact import compact as kcompact
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.serialization import res0_cells, to_signed
+
+    r0 = res0_cells()
+    full_face = uncompact(np.array([r0[7]], dtype=np.uint64), 4)
+    lonely = uncompact(np.array([r0[2]], dtype=np.uint64), 4)[:3]
+    cells = np.concatenate([full_face, lonely])
+    want = sorted(int(v) for v in to_signed(kcompact(cells)))
+
+    vals = ",".join(f"({int(v)})" for v in to_signed(cells))
+    src = f"SELECT c FROM (VALUES {vals}) AS t(c)"
+    chain = _sql_compact_chain(src, 4)
+    con = _dd.connect()
+    got = sorted(r[0] for r in con.execute(
+        f"WITH {chain} SELECT c FROM compacted"
+    ).fetchall())
+    assert got == want
