@@ -28,6 +28,11 @@ AUDIT = [
     "tile_pyramid",
     "line_trace",
     "hex_roundtrip",
+    "simhash_neardup",
+    "embed_neardup",
+    "focal_smoothing",
+    "hot_region_vectorize",
+    "image_checksums",
 ]
 
 
