@@ -1,30 +1,58 @@
-"""Registry for DataFrames persisted inside lazily-returned query pipelines.
+"""Scoped registry for DataFrames persisted inside lazily-returned pipelines.
 
 Query builders can't unpersist before their result is collected, so they
 register persisted frames here and the caller (bench loop, tests, pipeline
 driver) releases them once the result has been materialized.
+
+The registry is a SCOPE STACK, not one process-global list: `persist()`
+registers into the innermost open scope, and `release_persisted()` (or
+leaving a `with cache.scope():` block) only unpersists frames registered in
+that scope. That makes interleaving safe — materialize query A, release it,
+then materialize independently-built query B — where a flat global list
+would have silently dropped B's persisted intermediates mid-use.
 """
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
+# innermost scope is _SCOPES[-1]; the root scope always exists so bare
+# persist()/release_persisted() keep working without an explicit scope()
+_SCOPES: list[list[DataFrame]] = [[]]
 
 
 def persist(df: DataFrame) -> DataFrame:
-    """persist() + register for deferred release."""
+    """persist() + register in the innermost scope for deferred release."""
     df.persist()
-    _PERSISTED.append(df)
+    _SCOPES[-1].append(df)
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every registered frame; returns how many were released."""
+def _release(frames: list[DataFrame]) -> int:
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    while frames:
+        df = frames.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
     return n
+
+
+def release_persisted() -> int:
+    """Unpersist every frame registered in the INNERMOST scope only."""
+    return _release(_SCOPES[-1])
+
+
+@contextmanager
+def scope():
+    """Context manager: frames persisted inside are released on exit, and a
+    release inside the block cannot touch frames of any enclosing pipeline."""
+    frames: list[DataFrame] = []
+    _SCOPES.append(frames)
+    try:
+        yield frames
+    finally:
+        _SCOPES.pop()
+        _release(frames)

@@ -1103,7 +1103,12 @@ def q_knn_images(spark, sf_dir):
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
     pts = img.select("image_id", "lon", "lat", "cell")
-    out = knn_join(queries, pts, k=5, resolution=5, point_id="image_id")
+    # micrometer tie quantum: synthetic lattice points can be EXACTLY
+    # equidistant, where raw-double ranking is libm-ULP noise that differs
+    # between Spark and DuckDB — quantize, then break ties by image_id
+    out = knn_join(
+        queries, pts, k=5, resolution=5, point_id="image_id", tie_quantum_decimals=6
+    )
     return out.select(
         "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")
     ).orderBy("query_id", "rank")
@@ -1129,11 +1134,11 @@ def oracle_knn_images():
              )) AS dist_m,
              row_number() OVER (
                PARTITION BY query_id
-               ORDER BY 2 * 6371007.2 * asin(sqrt(
+               ORDER BY round(2 * 6371007.2 * asin(sqrt(
                  sin(radians(lat - q_lat) / 2) * sin(radians(lat - q_lat) / 2)
                  + cos(radians(q_lat)) * cos(radians(lat))
                    * sin(radians(lon - q_lon) / 2) * sin(radians(lon - q_lon) / 2)
-               )) ASC, image_id ASC
+               )), 6) ASC, image_id ASC
              ) AS rank
       FROM q, img
     )

@@ -114,6 +114,12 @@ def a5_cell_neighbors(cell: pd.Series) -> pd.Series:
     out = [None] * len(cells)
     for r in np.unique(res):
         idx = np.where(res == r)[0]
+        if r < 0:
+            # the world cell (res -1) has no peers — empty neighbor set, so a
+            # stray marker row can't fail the whole Arrow batch
+            for i in idx:
+                out[i] = []
+            continue
         if r < 2:
             for i in idx:
                 nbrs = np.array(

@@ -29,6 +29,13 @@ CELL_RADIUS = [CELL_RADIUS_SAFETY_FACTOR * AUTHALIC_RADIUS_EARTH / math.sqrt(3)]
 
 
 def meters_to_h(meters: float) -> float:
+    # A radius >= half the great circle covers the whole sphere. Without the
+    # clamp sin() folds past pi/2 and the haversine threshold silently SHRINKS
+    # again, excluding cells near the antipode — which broke knn_join's
+    # "final radius covers the sphere -> provably exact" guarantee whenever a
+    # query's true top-k included near-antipodal points.
+    if meters >= math.pi * AUTHALIC_RADIUS_EARTH:
+        return 1.0
     s = math.sin(meters / (2 * AUTHALIC_RADIUS_EARTH))
     return s * s
 

@@ -214,6 +214,7 @@ def knn_join(
     initial_radius: float | None = None,
     growth: float = 4.0,
     max_rounds: int = 8,
+    tie_quantum_decimals: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest points for each query row.
 
@@ -221,6 +222,12 @@ def knn_join(
     points:  (..., point_id, lon, lat, cell) — same resolution.
     Returns query columns + point columns + dist_m + rank (1..k), ties broken
     by point_id ascending (deterministic, oracle-comparable).
+
+    tie_quantum_decimals: when set, the rank window orders by dist_m ROUNDED
+    to that many decimals (then point_id). Use it when comparing against an
+    independently-computed oracle: geometrically equidistant points (common
+    in synthetic lattice data) otherwise rank by libm ULP noise, which can
+    differ between engines. 6 decimals = micrometer ties.
 
     Guarantee model: a round with cap radius r produces, for every query, ALL
     points within r (same accounting as radius_join); a query is emitted only
@@ -264,7 +271,12 @@ def knn_join(
         if not final:
             cand = cand.filter(F.col("dist_m") <= rr)
         wq = Window.partitionBy(query_id)
-        wr = wq.orderBy(F.asc("dist_m"), F.asc(point_id))
+        rank_key = (
+            F.round(F.col("dist_m"), tie_quantum_decimals)
+            if tie_quantum_decimals is not None
+            else F.col("dist_m")
+        )
+        wr = wq.orderBy(F.asc(rank_key), F.asc(point_id))
         scored = (
             cand.withColumn("rank", F.row_number().over(wr))
             .withColumn("__n_cand", F.count(F.lit(1)).over(wq))

@@ -15,6 +15,7 @@ manifest keeps the engine storage-agnostic):
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,16 @@ def run_partitioned(
         batch = todo[i : i + batch_parts]
         part_df = staged.filter(F.col("part").isin(batch))
         path = os.path.join(out_dir, "data")
+        # Drop any leftover data for this batch's UNCOMMITTED partitions
+        # before writing: dynamic partition overwrite only replaces
+        # partitions the new write produces rows for, so a crashed earlier
+        # attempt that wrote part=p could survive if a (nondeterministic)
+        # resumed source now yields zero rows for p — and the file-derived
+        # count below would commit those stale rows into the manifest.
+        for p in batch:
+            stale = os.path.join(path, f"part={p}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         # dynamic partition overwrite makes a re-run of an uncommitted batch
         # idempotent (a crash between the data write and the manifest write
         # would otherwise duplicate rows on resume under append mode)
