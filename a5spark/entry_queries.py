@@ -709,14 +709,11 @@ def q_embed_neardup(spark, sf_dir):
     return cosine_neardup_pairs(
         emb, dim=_LSH_DIM, threshold_num=4, threshold_den=25,
         n_bits=_LSH_BITS, n_tables=_LSH_TABLES, scale=127,
+        bucket_cap=_LSH_BUCKET_CAP, extra_bits=_LSH_EXTRA_BITS,
     ).orderBy("id_a", "id_b")
 
 
 def oracle_embed_neardup():
-    tables_sql = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t)} AS bucket FROM qv"
-        for t in range(_LSH_TABLES)
-    )
     return f"""
     WITH qv AS (
       SELECT vec_id,
@@ -724,10 +721,10 @@ def oracle_embed_neardup():
       FROM embeddings
     ), n AS (
       SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
-    ), buckets AS ({tables_sql}),
+    ), {_sql_lsh_keyed_ctes()},
     pairs AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+      FROM keyed a JOIN keyed b ON a.t = b.t AND a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id
     ), scored AS (
       SELECT p.id_a, p.id_b,
@@ -980,6 +977,14 @@ def q_ann_cosine(spark, sf_dir):
 _LSH_BITS = 3
 _LSH_TABLES = 12
 _LSH_DIM = 64
+# Structural scale guard: primary buckets wider than this split by
+# _LSH_EXTRA_BITS secondary hyperplanes (similarity._extend_assign). The cap
+# is set well above the expected uniform load at bench scales (it exists for
+# pathological pile-ups, not to shave uniformly-loaded buckets, which would
+# cost recall); the oracle SQL models the refinement chain either way, and
+# tests/test_round3.py exercises the TRIGGERED path cross-engine.
+_LSH_BUCKET_CAP = 100_000
+_LSH_EXTRA_BITS = 12
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -993,19 +998,25 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
     out = lsh_bucket_topk(
-        queries, emb, k=3, dim=_LSH_DIM, n_bits=_LSH_BITS, n_tables=_LSH_TABLES
+        queries, emb, k=3, dim=_LSH_DIM, n_bits=_LSH_BITS, n_tables=_LSH_TABLES,
+        bucket_cap=_LSH_BUCKET_CAP, extra_bits=_LSH_EXTRA_BITS,
     )
     return out.select("q_id", "rank", "vec_id", "qdot").orderBy("q_id", "rank")
 
 
-def _sql_bucket_expr(t: int) -> str:
+def _sql_bucket_expr(
+    t: int, n_bits: int = None, first_bit: int = 0, dim: int = None
+) -> str:
     """Banded-LSH bucket id for table t as SQL over a quantized list column
-    `v` — the same md5-derived sign literals the Catalyst expression bakes."""
+    `v` — the same md5-derived sign literals the Catalyst expression bakes.
+    first_bit > 0 derives the SUFFIX band used for wide-bucket refinement."""
     from a5spark.operators.similarity import hyperplane_signs
 
+    n_bits = _LSH_BITS if n_bits is None else n_bits
+    dim = _LSH_DIM if dim is None else dim
     bits = []
-    for b in range(_LSH_BITS):
-        signs = hyperplane_signs(t, b, _LSH_DIM)
+    for b in range(n_bits):
+        signs = hyperplane_signs(t, first_bit + b, dim)
         lit = "[" + ",".join(str(s) for s in signs) + "]"
         bits.append(
             f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
@@ -1013,20 +1024,65 @@ def _sql_bucket_expr(t: int) -> str:
     return " + ".join(bits)
 
 
-def oracle_ann_lsh():
-    tables_sql = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t)} AS bucket FROM qv"
-        for t in range(_LSH_TABLES)
+def _sql_lsh_keyed_ctes(
+    n_bits: int = None,
+    n_tables: int = None,
+    dim: int = None,
+    bucket_cap: int = None,
+    extra_bits: int = None,
+) -> str:
+    """CTE chain `buckets -> wide -> suffixes -> keyed` reproducing the
+    bucket-cap refinement of operators/similarity._extend_assign over a CTE
+    `qv(vec_id, v)`: primary buckets wider than the cap extend their key by
+    `extra_bits` suffix hyperplane bits (key = bucket + suffix * 2^n_bits,
+    matching Spark's shiftleft)."""
+    n_bits = _LSH_BITS if n_bits is None else n_bits
+    n_tables = _LSH_TABLES if n_tables is None else n_tables
+    dim = _LSH_DIM if dim is None else dim
+    bucket_cap = _LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    extra_bits = _LSH_EXTRA_BITS if extra_bits is None else extra_bits
+    prim = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, n_bits, 0, dim)} AS bucket FROM qv"
+        for t in range(n_tables)
     )
+    # suffix bits evaluate only over rows that hit a wide bucket (qv_need),
+    # mirroring the Spark side where the suffix pass runs on `need` ids only
+    suf = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, extra_bits, n_bits, dim)} AS suffix FROM qv_need"
+        for t in range(n_tables)
+    )
+    return f"""
+    buckets AS ({prim}),
+    wide AS (
+      SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > {bucket_cap}
+    ),
+    need AS (
+      SELECT DISTINCT b.vec_id FROM buckets b
+      JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
+    ),
+    qv_need AS (SELECT qv.* FROM qv JOIN need USING (vec_id)),
+    suffixes AS ({suf}),
+    keyed AS (
+      SELECT b.vec_id, b.t,
+             CASE WHEN w.bucket IS NOT NULL
+                  THEN CAST(b.bucket AS BIGINT) + CAST(s.suffix AS BIGINT) * {1 << n_bits}
+                  ELSE CAST(b.bucket AS BIGINT) END AS bucket
+      FROM buckets b
+      LEFT JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
+      LEFT JOIN suffixes s ON s.vec_id = b.vec_id AND s.t = b.t
+    )"""
+
+
+def oracle_ann_lsh():
     return f"""
     WITH qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
       FROM embeddings
-    ), buckets AS ({tables_sql}),
+    ), {_sql_lsh_keyed_ctes()},
     pairs AS (
       SELECT DISTINCT q.vec_id AS q_id, p.vec_id AS vec_id
-      FROM buckets q JOIN buckets p ON q.t = p.t AND q.bucket = p.bucket
+      FROM keyed q JOIN keyed p ON q.t = p.t AND q.bucket = p.bucket
       WHERE q.vec_id % 25 = 0
     ), scored AS (
       SELECT pr.q_id, pr.vec_id,

@@ -50,6 +50,7 @@ def _matmul_candidates(
     vec: str,
     quantized: bool,
     scale: int = 1000,
+    max_broadcast_queries: int = 200_000,
 ) -> DataFrame:
     """Blocked-matmul scoring: the (small) query matrix is broadcast to every
     task; each Arrow batch of points scores against ALL queries with one
@@ -57,7 +58,40 @@ def _matmul_candidates(
     reduced by a global window. Shuffle volume: |Q| * k * n_batches rows.
 
     quantized=True scores with exact int64 dot products of round(x * scale)
-    vectors (engine-portable); otherwise float64 cosine."""
+    vectors (engine-portable); otherwise float64 cosine.
+
+    The query fleet is bounded: when |Q| > max_broadcast_queries the fleet is
+    processed in deterministic hash chunks of at most that size (one
+    collect + broadcast + map-only scan per chunk, unioned) — the driver
+    never holds more than one chunk's matrix, so a 10^7-query fleet degrades
+    to more scans instead of a driver OOM."""
+    n_q = queries.count()
+    if n_q > max_broadcast_queries:
+        # single-level split (no recursion: pmod(hash, n) is correlated
+        # across levels, a re-split of one chunk would never separate it);
+        # hash variance can push a chunk slightly over the bound, which is
+        # fine — the bound is a driver-memory envelope, not an exact quota
+        n_chunks = -(-n_q // max_broadcast_queries)
+        chunk = F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_chunks))
+        parts = [
+            _matmul_candidates(
+                queries.filter(chunk == c),
+                points,
+                k,
+                query_id,
+                point_id,
+                vec,
+                quantized,
+                scale,
+                max_broadcast_queries=2**63 - 1,  # chunks broadcast directly
+            )
+            for c in range(n_chunks)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -117,10 +151,15 @@ def brute_force_topk(
     query_id: str = "q_id",
     point_id: str = "vec_id",
     vec: str = "embedding",
+    max_broadcast_queries: int = 200_000,
 ) -> DataFrame:
     """Exact cosine top-k of each query against all points: blocked numpy
-    matmul per Arrow batch + global window reduction."""
-    cand = _matmul_candidates(queries, points, k, query_id, point_id, vec, False)
+    matmul per Arrow batch + global window reduction. Query fleets beyond
+    max_broadcast_queries process in hash chunks (bounded driver memory)."""
+    cand = _matmul_candidates(
+        queries, points, k, query_id, point_id, vec, False,
+        max_broadcast_queries=max_broadcast_queries,
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -141,11 +180,16 @@ def quantized_topk(
     query_id: str = "q_id",
     point_id: str = "vec_id",
     vec: str = "embedding",
+    max_broadcast_queries: int = 200_000,
 ) -> DataFrame:
     """Integer-quantized dot-product top-k (deterministic tie-break by id):
     exact int64 scores, bit-identical to the ANSI-SQL formulation (the
-    oracle-checked ANN variant)."""
-    cand = _matmul_candidates(queries, points, k, query_id, point_id, vec, True)
+    oracle-checked ANN variant). Query fleets beyond max_broadcast_queries
+    process in hash chunks (bounded driver memory)."""
+    cand = _matmul_candidates(
+        queries, points, k, query_id, point_id, vec, True,
+        max_broadcast_queries=max_broadcast_queries,
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -168,7 +212,12 @@ def hyperplane_signs(table: int, bit: int, dim: int) -> list:
 
 
 def hyperplane_buckets(
-    vec: Column, dim: int, n_bits: int = 8, n_tables: int = 4, scale: int = 1000
+    vec: Column,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    scale: int = 1000,
+    first_bit: int = 0,
 ) -> Column:
     """Array of `n_tables` banded LSH bucket ids for a quantized vector.
 
@@ -176,13 +225,18 @@ def hyperplane_buckets(
     components (signs from hyperplane_signs) — exact int64 arithmetic, so
     bucket assignment is bit-identical across engines. The sign tables are
     baked as array literals: the per-row cost is n_tables*n_bits fused
-    zip_with/aggregate passes, all JVM-side."""
+    zip_with/aggregate passes, all JVM-side.
+
+    first_bit shifts the hyperplane index range to [first_bit,
+    first_bit+n_bits) — used to derive SUFFIX bands for wide-bucket
+    refinement that are independent of (but deterministic alongside) the
+    primary bits."""
     qv = quantize(vec, scale)
     buckets = []
     for t in range(n_tables):
         bits = []
         for b in range(n_bits):
-            signs = F.array(*[F.lit(s) for s in hyperplane_signs(t, b, dim)])
+            signs = F.array(*[F.lit(s) for s in hyperplane_signs(t, first_bit + b, dim)])
             signed_sum = F.aggregate(
                 F.zip_with(qv, signs, lambda x, s: x * s.cast("long")),
                 F.lit(0).cast("long"),
@@ -196,6 +250,123 @@ def hyperplane_buckets(
     return F.array(*buckets)
 
 
+def _wide_buckets(assign: DataFrame, bucket_cap: int) -> DataFrame:
+    """(table, bucket) keys whose population exceeds bucket_cap — the hot
+    buckets a bucket self/equi-join must not process as-is. The result is
+    tiny by construction (<= rows/cap entries per table) and is broadcast by
+    the callers."""
+    from a5spark import cache
+
+    # renamed key columns: `wide` derives from the same plan as `assign`, so
+    # the downstream join must not share attribute names (self-join ambiguity)
+    return cache.persist(
+        assign.groupBy("__t", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > bucket_cap)
+        .select(
+            F.col("__t").alias("__wt"),
+            F.col("__bucket").alias("__wb"),
+            F.lit(1).alias("__wide"),
+        )
+    )
+
+
+def _extend_assign(
+    assign: DataFrame,
+    vectors: DataFrame,
+    wide: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    scale: int,
+    extra_bits: int,
+) -> DataFrame:
+    """Extend bucket keys that fall in `wide` with a deterministic SECONDARY
+    band — the structural guard that keeps bucket joins subquadratic when
+    data piles into few primary buckets.
+
+    assign: (id_col, __t, __bucket) primary assignments; vectors: (id_col,
+    vec). Rows in a wide (table, bucket) get their key extended by
+    `extra_bits` additional hyperplane bits (indices
+    n_bits..n_bits+extra_bits-1 — the same md5-derived sign construction, so
+    the refinement is bit-identical across engines and SQL-expressible). The
+    suffix pass runs ONLY over rows that hit a wide bucket in some table, so
+    the common path pays nothing. Rows that stay together after refinement
+    agree on n_bits+extra_bits hyperplanes — an expected 2^-extra_bits slice
+    of the wide bucket; only genuinely near-identical clusters (true
+    near-dup output, inherently quadratic) remain wide.
+
+    Returns (id_col, __t, __bucket) with refined (long) keys."""
+    marked = assign.join(
+        F.broadcast(wide),
+        (F.col("__t") == F.col("__wt")) & (F.col("__bucket") == F.col("__wb")),
+        "left",
+    ).select(id_col, "__t", "__bucket", "__wide")
+    need = marked.filter(F.col("__wide") == 1).select(id_col).distinct()
+    suffixes = vectors.join(need, id_col).select(
+        F.col(id_col),
+        F.posexplode(
+            hyperplane_buckets(
+                F.col(vec), dim, extra_bits, n_tables, scale, first_bit=n_bits
+            )
+        ).alias("__t", "__suffix"),
+    )
+    return (
+        marked.join(suffixes, [id_col, "__t"], "left")
+        .withColumn(
+            "__bucket",
+            F.when(
+                F.col("__wide") == 1,
+                F.col("__bucket") + F.shiftleft(F.col("__suffix").cast("long"), n_bits),
+            ).otherwise(F.col("__bucket").cast("long")),
+        )
+        .select(id_col, "__t", "__bucket")
+    )
+
+
+def neardup_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    scale: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    bucket_cap: int | None = 100_000,
+    extra_bits: int = 12,
+) -> DataFrame:
+    """LSH candidate self-join: distinct (id_a < id_b) pairs colliding in any
+    table's (possibly cap-refined) bucket. Exposed separately so candidate
+    VOLUME is measurable — the subquadratic guarantee under bucket_cap is
+    what makes the near-dup family usable at corpus scale."""
+    assign = df.select(
+        F.col(id_col),
+        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
+            "__t", "__bucket"
+        ),
+    )
+    if bucket_cap is not None:
+        wide = _wide_buckets(assign, bucket_cap)
+        assign = _extend_assign(
+            assign, df.select(id_col, vec), wide, id_col, vec,
+            dim, n_bits, n_tables, scale, extra_bits,
+        )
+    b1 = assign.select(
+        F.col(id_col).alias("id_a"), "__t", F.col("__bucket").alias("__b")
+    )
+    b2 = assign.select(
+        F.col(id_col).alias("id_b"), "__t", F.col("__bucket").alias("__b")
+    )
+    return (
+        b1.join(b2, ["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     dim: int,
@@ -206,6 +377,8 @@ def cosine_neardup_pairs(
     scale: int = 127,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    bucket_cap: int | None = 100_000,
+    extra_bits: int = 12,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: banded-LSH candidate self-join +
     integer-exact cosine threshold.
@@ -216,24 +389,16 @@ def cosine_neardup_pairs(
     across engines, so the full pipeline is oracle-expressible. Candidates
     come from the same banded hyperplane LSH as lsh_bucket_topk (the result
     is LSH-candidates intersect threshold — deterministic; recall follows
-    the band/table tuning)."""
-    b1 = df.select(
-        F.col(id_col).alias("id_a"),
-        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
-            "__t", "__b"
-        ),
-    )
-    b2 = df.select(
-        F.col(id_col).alias("id_b"),
-        F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
-            "__t", "__b"
-        ),
-    )
-    pairs = (
-        b1.join(b2, ["__t", "__b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    the band/table tuning).
+
+    bucket_cap bounds the self-join: primary buckets wider than the cap are
+    split by `extra_bits` secondary hyperplanes (_refine_wide_buckets), so
+    per-bucket join volume stays <= max(cap, cluster)^2 instead of the
+    near-quadratic blowup a few hot primary buckets would otherwise cause at
+    corpus scale. Pass bucket_cap=None to disable (exact historic
+    behavior)."""
+    pairs = neardup_candidate_pairs(
+        df, dim, n_bits, n_tables, scale, id_col, vec, bucket_cap, extra_bits
     )
     qv = df.select(
         F.col(id_col),
@@ -282,6 +447,8 @@ def lsh_bucket_topk(
     query_id: str = "q_id",
     point_id: str = "vec_id",
     vec: str = "embedding",
+    bucket_cap: int | None = 100_000,
+    extra_bits: int = 12,
 ) -> DataFrame:
     """Banded multi-table hyperplane-LSH ANN top-k with exact quantized
     re-rank (the 100 TB scale path):
@@ -293,6 +460,14 @@ def lsh_bucket_topk(
       3. exact int64-quantized dot-product re-rank, ties by point id — the
          same scoring as quantized_topk, so recall is measurable against it
          and the whole pipeline is oracle-expressible.
+
+    Point-side primary buckets wider than `bucket_cap` are split by
+    `extra_bits` secondary hyperplanes; queries landing in a wide bucket
+    extend their key with their OWN suffix, so both sides agree and the
+    per-bucket join volume stays bounded (recall inside a split bucket then
+    follows the extended band — acceptable because a bucket only splits when
+    it is too hot to join, and the multi-table union still probes the other
+    tables). bucket_cap=None disables.
 
     Returns (query_id, rank, point_id, qdot)."""
     # the bucket join carries only ids (the explode duplicates rows
@@ -311,6 +486,19 @@ def lsh_bucket_topk(
             "__t", "__bucket"
         ),
     )
+    if bucket_cap is not None:
+        # hot buckets are determined by the POINT side (that's where volume
+        # lives); BOTH sides then extend keys in those buckets with their own
+        # suffix so the equi-join stays aligned
+        wide = _wide_buckets(pb, bucket_cap)
+        pb = _extend_assign(
+            pb, points.select(point_id, vec), wide, point_id, vec,
+            dim, n_bits, n_tables, scale, extra_bits,
+        )
+        qb = _extend_assign(
+            qb, queries.select(query_id, vec), wide, query_id, vec,
+            dim, n_bits, n_tables, scale, extra_bits,
+        )
     pairs = (
         qb.join(pb, ["__t", "__bucket"])
         .select(query_id, point_id)

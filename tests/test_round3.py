@@ -116,3 +116,110 @@ def test_checkpoint_clears_stale_uncommitted_partition(spark, tmp_path):
     assert stats["committed_now"] == 1
     assert stats["rows_written"] == 0  # stale rows NOT re-committed
     assert read_output(spark, out).count() == total - n_p2
+
+
+def _hot_cluster_vectors(n_hot=300, n_rand=100, dim=16, seed=7):
+    """One dense-direction cluster (pairwise cos ~0.5: collides in few
+    primary LSH bits, splits under suffix bits) + background noise."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    hot = base[None, :] + 0.25 * rng.normal(size=(n_hot, dim))
+    rand = rng.normal(size=(n_rand, dim))
+    return np.vstack([hot, rand])
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Adversarial corpus: a hot cluster piles into few primary buckets. The
+    cap must cut candidate volume to <= c*n while uncapped goes
+    near-quadratic."""
+    from a5spark.operators.similarity import neardup_candidate_pairs
+
+    vecs = _hot_cluster_vectors()
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    common = dict(dim=16, n_bits=3, n_tables=4, scale=127)
+    uncapped = neardup_candidate_pairs(df, bucket_cap=None, **common).count()
+    capped = neardup_candidate_pairs(
+        df, bucket_cap=30, extra_bits=8, **common
+    ).count()
+    assert capped <= 20 * n, f"capped candidates {capped} > 20n"
+    assert uncapped > 3 * capped, f"cap did not bite: {uncapped} vs {capped}"
+
+
+def test_lsh_bucket_cap_matches_duckdb(spark, tmp_path):
+    """Cross-engine value check of the TRIGGERED refinement path: Spark
+    cosine_neardup_pairs with a biting cap == DuckDB running the generated
+    keyed-CTE SQL on the same parquet."""
+    import duckdb
+
+    from a5spark.entry_queries import _sql_lsh_keyed_ctes
+    from a5spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = _hot_cluster_vectors(n_hot=150, n_rand=50)
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    pq = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    got = (
+        cosine_neardup_pairs(
+            df, dim=16, threshold_num=4, threshold_den=25,
+            n_bits=3, n_tables=4, scale=127, bucket_cap=20, extra_bits=8,
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    keyed = _sql_lsh_keyed_ctes(
+        n_bits=3, n_tables=4, dim=16, bucket_cap=20, extra_bits=8
+    )
+    sql = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v
+      FROM read_parquet('{pq}/*.parquet')
+    ), n AS (
+      SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
+    ), {keyed},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keyed a JOIN keyed b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(list_dot_product(na.v, nb.v) AS BIGINT) AS qdot,
+             na.n2 AS n2a, nb.n2 AS n2b
+      FROM pairs p
+      JOIN n na ON na.vec_id = p.id_a
+      JOIN n nb ON nb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, qdot FROM scored
+    WHERE qdot > 0 AND qdot * qdot * 25 >= 4 * n2a * n2b
+    ORDER BY id_a, id_b
+    """
+    exp = duckdb.sql(sql).fetchall()
+    assert [(r["id_a"], r["id_b"], r["qdot"]) for r in got] == exp
+    assert len(exp) > 0  # the threshold keeps real near-dups
+
+
+def test_ann_chunked_query_fleet_matches_broadcast(spark):
+    """quantized_topk with |Q| over the broadcast bound (forcing 4 hash
+    chunks) returns exactly the single-broadcast result."""
+    from a5spark.operators.similarity import quantized_topk
+
+    vecs = _hot_cluster_vectors(n_hot=60, n_rand=40)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(vecs.shape[0])],
+        ["vec_id", "embedding"],
+    )
+    queries = df.filter((df.vec_id % 3) == 0).select(
+        df.vec_id.alias("q_id"), "embedding"
+    )
+    big = quantized_topk(queries, df, k=3, max_broadcast_queries=10)
+    one = quantized_topk(queries, df, k=3, max_broadcast_queries=10**6)
+    key = lambda r: (r["q_id"], r["rank"], r["vec_id"], r["qdot"])
+    assert sorted(map(key, big.collect())) == sorted(map(key, one.collect()))
