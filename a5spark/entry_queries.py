@@ -1241,9 +1241,17 @@ def oracle_polyfill_cover():
     """
 
 
+_PIP_SNAPSHOT = "/tmp/a5spark_oracle/pip_join_r9"
+
+
 def q_pip_join(spark, sf_dir):
     """Point-in-polygon join: images vs the polygon layer (cover join +
-    exact PIP refine). Rows-only check."""
+    exact PIP refine). The cover-join candidate set and the refine verdicts
+    are snapshot to parquet; the oracle recomputes the final group-by from
+    the verdict snapshot INNER-JOINED against the candidate snapshot — a
+    value-level gate on the join topology (every refined row must be a
+    candidate) while the PIP predicate itself stays kernel-pinned
+    (test_pip_refine_matches_kernel)."""
     import json as _json
 
     from a5spark import cache
@@ -1261,11 +1269,133 @@ def q_pip_join(spark, sf_dir):
     cover = polyfill_cover(pdf, resolution=6)
     img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 9))
     joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
+    joined.select("polygon_id", "image_id").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{_PIP_SNAPSHOT}/candidates")
     refined = pip_refine(joined, pdf)
+    refined.select("polygon_id", "image_id").write.mode("overwrite").parquet(
+        f"{_PIP_SNAPSHOT}/refined"
+    )
+    refined = spark.read.parquet(f"{_PIP_SNAPSHOT}/refined")
     return refined.groupBy("polygon_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("image_id").alias("min_image"),
     ).orderBy("polygon_id")
+
+
+def oracle_pip_join():
+    return f"""
+    WITH cand AS (
+      SELECT DISTINCT polygon_id, image_id
+      FROM read_parquet('{_PIP_SNAPSHOT}/candidates/*.parquet')
+    ),
+    ref AS (
+      SELECT polygon_id, image_id
+      FROM read_parquet('{_PIP_SNAPSHOT}/refined/*.parquet')
+    )
+    SELECT r.polygon_id, CAST(count(*) AS BIGINT) AS n_images,
+           min(r.image_id) AS min_image
+    FROM ref r
+    JOIN cand c ON c.polygon_id = r.polygon_id AND c.image_id = r.image_id
+    GROUP BY r.polygon_id ORDER BY r.polygon_id
+    """
+
+
+_GRIDDISK_SNAPSHOT = "/tmp/a5spark_oracle/grid_disk_r6"
+
+
+def q_grid_disk(spark, sf_dir):
+    """k-ring (grid_disk, k=2) density expansion over the res-6 cell raster:
+    per-cell counts, then the count-sum over each cell's distance-<=2 disk —
+    the windowed spatial aggregation pattern (reference
+    a5/traversal/grid_disk.py:10-70 made distributed). The density and the
+    exploded (cell, disk member) relation are snapshot to parquet so the
+    oracle independently reproduces the disk join+aggregate; the disk kernel
+    itself is fixture-pinned (42-case grid_disk fixture)."""
+    from a5spark.operators.knn import a5_grid_disk
+    from a5spark.operators.spatial import assign_cells, cell_density
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 6)
+    dens = cell_density(img)
+    dens.write.mode("overwrite").parquet(f"{_GRIDDISK_SNAPSHOT}/density")
+    dens = spark.read.parquet(f"{_GRIDDISK_SNAPSHOT}/density")
+    disk = dens.select(
+        "cell", F.explode(a5_grid_disk(F.col("cell"), F.lit(2))).alias("dcell")
+    )
+    disk.write.mode("overwrite").parquet(f"{_GRIDDISK_SNAPSHOT}/disk")
+    disk = spark.read.parquet(f"{_GRIDDISK_SNAPSHOT}/disk")
+    nb = dens.select(F.col("cell").alias("dcell"), F.col("n").alias("d_n"))
+    ring = (
+        disk.join(nb, "dcell", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_disk_cells"),
+            F.sum(F.coalesce(F.col("d_n"), F.lit(0))).cast("long").alias("disk_sum"),
+        )
+    )
+    return (
+        dens.join(ring, "cell")
+        .select("cell", F.col("n").cast("long").alias("n"), "n_disk_cells", "disk_sum")
+        .orderBy("cell")
+    )
+
+
+def oracle_grid_disk():
+    return f"""
+    WITH dens AS (SELECT cell, n FROM read_parquet('{_GRIDDISK_SNAPSHOT}/density/*.parquet')),
+    disk AS (SELECT cell, dcell FROM read_parquet('{_GRIDDISK_SNAPSHOT}/disk/*.parquet')),
+    ring AS (
+      SELECT k.cell, CAST(count(*) AS BIGINT) AS n_disk_cells,
+             CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS disk_sum
+      FROM disk k LEFT JOIN dens d ON d.cell = k.dcell
+      GROUP BY k.cell
+    )
+    SELECT dens.cell, CAST(dens.n AS BIGINT) AS n, r.n_disk_cells, r.disk_sum
+    FROM dens JOIN ring r ON r.cell = dens.cell
+    ORDER BY dens.cell
+    """
+
+
+_SKEW_SNAPSHOT = "/tmp/a5spark_oracle/skewed_assign_r5"
+
+
+def q_skewed_density(spark, sf_dir):
+    """Zipfian-hot-cell density through the SALTED two-phase aggregation
+    (operators/spatial.salted_density): half of all rows are forced onto one
+    hot cell (lon 0 / lat 0 at res 5), the skew case where a naive
+    groupBy(cell) funnels 50% of the table through one shuffle partition.
+    The salt spreads the hot key over 64 shuffle keys (partial agg on
+    (cell, salt), final on cell — see PLANS.md). The skewed assignment is
+    snapshot to parquet; the oracle is the plain GROUP BY count."""
+    from a5spark.kernels.cell import lonlat_to_cell as _enc
+    from a5spark.kernels.serialization import to_signed as _tos
+    from a5spark.operators.spatial import assign_cells, salted_density
+
+    hot_cell = int(_tos(_enc([0.0], [0.0], 5))[0])
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
+    skewed = img.select(
+        "k",
+        F.when(F.col("k") % 2 == 0, F.lit(hot_cell))
+        .otherwise(F.col("cell"))
+        .alias("cell"),
+    )
+    skewed.write.mode("overwrite").parquet(_SKEW_SNAPSHOT)
+    skewed = spark.read.parquet(_SKEW_SNAPSHOT)
+    dens = salted_density(skewed, cell="cell", buckets=64, row_key="k")
+    return (
+        dens.filter(F.col("n") >= 5)
+        .select("cell", F.col("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "cell")
+    )
+
+
+def oracle_skewed_density():
+    return f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{_SKEW_SNAPSHOT}/*.parquet')
+    GROUP BY cell HAVING count(*) >= 5
+    ORDER BY n DESC, cell
+    """
 
 
 _FOCAL_SNAPSHOT = "/tmp/a5spark_oracle/focal_r6"
@@ -1373,15 +1503,20 @@ def oracle_hot_region_vectorize():
     """
 
 
+_LINE_SNAPSHOT = "/tmp/a5spark_oracle/line_trace_r7"
+
+
 def q_line_trace(spark, sf_dir):
     """Trajectory -> ordered cell trace -> corridor density: fixed polylines
     traced at res 7 (a5_line_to_cells UDF, reference a5/traversal/line.py),
-    exploded and equi-joined against the image table's cell assignment.
-    Rows-only check (the trace kernel is fixture-pinned in tests; order parity
-    is asserted vs the reference library in test_traversal)."""
-    from a5spark import cache
-    from a5spark.functions.udfs import a5_line_to_cells
-    from a5spark.operators.spatial import assign_cells
+    then joined against the image table's per-cell density. The traced
+    (route, cell, area) relation and the res-7 density are snapshot to
+    parquet so DuckDB independently reproduces the corridor join + aggregate
+    (the trace kernel itself is fixture-pinned and order-parity-checked vs
+    the reference in test_traversal; micro-areas quantized to integer m2 so
+    the corridor sum is engine-exact)."""
+    from a5spark.functions.udfs import a5_cell_area_exact, a5_line_to_cells
+    from a5spark.operators.spatial import assign_cells, cell_density
 
     routes = [
         ("london_paris", [[-0.1276, 51.5074], [2.35, 48.85]]),
@@ -1389,8 +1524,6 @@ def q_line_trace(spark, sf_dir):
         ("tokyo_osaka", [[139.76, 35.68], [135.5, 34.69]]),
         ("cape_cairo", [[18.42, -33.92], [31.23, 30.04]]),
     ]
-    from a5spark.functions.udfs import a5_cell_area_exact
-
     rdf = spark.createDataFrame(routes, ["route_id", "waypoints"])
     traced = rdf.select(
         "route_id",
@@ -1400,23 +1533,44 @@ def q_line_trace(spark, sf_dir):
         F.size("cells").alias("n_cells"),
         F.element_at("cells", 1).alias("first_cell"),
         F.element_at("cells", -1).alias("last_cell"),
-        F.explode("cells").alias("cell"),
-    ).withColumn("cell_km2", a5_cell_area_exact(F.col("cell")) / 1e6)
-    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
-    joined = traced.join(
-        img.select("cell", F.lit(1).alias("__hit")), "cell", "left"
+        F.posexplode("cells").alias("seq", "cell"),
+    ).withColumn(
+        "cell_m2", F.round(a5_cell_area_exact(F.col("cell"))).cast("long")
     )
-    per_cell = joined.groupBy(
-        "route_id", "n_cells", "first_cell", "last_cell", "cell", "cell_km2"
-    ).agg(F.count("__hit").alias("n_img"))
+    traced.write.mode("overwrite").parquet(f"{_LINE_SNAPSHOT}/trace")
+    traced = spark.read.parquet(f"{_LINE_SNAPSHOT}/trace")
+
+    dens = cell_density(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
+    dens.write.mode("overwrite").parquet(f"{_LINE_SNAPSHOT}/density")
+    dens = spark.read.parquet(f"{_LINE_SNAPSHOT}/density")
+
+    joined = traced.join(dens, "cell", "left")
     return (
-        per_cell.groupBy("route_id", "n_cells", "first_cell", "last_cell")
+        joined.groupBy("route_id", "n_cells", "first_cell", "last_cell")
         .agg(
-            F.sum("n_img").cast("long").alias("n_corridor_images"),
-            F.round(F.sum("cell_km2"), 3).alias("corridor_km2"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("n_corridor_images"),
+            F.sum("cell_m2").cast("long").alias("corridor_m2"),
         )
         .orderBy("route_id")
     )
+
+
+def oracle_line_trace():
+    return f"""
+    WITH trace AS (
+      SELECT route_id, n_cells, first_cell, last_cell, cell, cell_m2
+      FROM read_parquet('{_LINE_SNAPSHOT}/trace/*.parquet')
+    ),
+    dens AS (SELECT cell, n FROM read_parquet('{_LINE_SNAPSHOT}/density/*.parquet'))
+    SELECT t.route_id, t.n_cells, t.first_cell, t.last_cell,
+           CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS n_corridor_images,
+           CAST(sum(t.cell_m2) AS BIGINT) AS corridor_m2
+    FROM trace t LEFT JOIN dens d ON d.cell = t.cell
+    GROUP BY t.route_id, t.n_cells, t.first_cell, t.last_cell
+    ORDER BY t.route_id
+    """
 
 
 _S2_SNAPSHOT = "/tmp/a5spark_oracle/s2_crossindex"
@@ -1454,19 +1608,91 @@ def oracle_s2_crossindex():
 
 
 def q_image_stats(spark, sf_dir):
-    """Decoded-pixel statistics + aHash over the binary image column
-    (rows-only; decode round-trip PSNR is asserted in tests)."""
-    from a5spark.operators.multimodal import image_stats
-    from a5spark.sources.images import images_from_sf_dir as _imgs
+    """Decoded-pixel statistics + integer-exact 8x8 aHash over the binary
+    image column: per-channel milli-means, grayscale milli-variance and the
+    perceptual hash, all in pure int64 arithmetic (image_moments) so DuckDB's
+    closed-form evaluation of the rgb8 pattern reproduces every value
+    bit-for-bit — a full value gate on the decode + stats path."""
+    from a5spark.operators.multimodal import image_moments
+    from a5spark.sources.images import _gen_image_bytes
 
-    img = _imgs(spark, sf_dir, with_bytes=True).limit(200)
-    stats = image_stats(img)
-    return stats.select(
+    # filter BEFORE synthesizing bytes (python-UDF projection ordering)
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
+        F.col("k") % 75 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    m = image_moments(img)
+    return m.select(
         "image_id",
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("std_gray", 6).alias("std_gray"),
-        "phash64",
+        "n_px",
+        F.expr("(1000 * sum_r) div n_px").alias("mean_r_milli"),
+        F.expr("(1000 * sum_g) div n_px").alias("mean_g_milli"),
+        F.expr("(1000 * sum_b) div n_px").alias("mean_b_milli"),
+        F.expr(
+            "(1000 * (n_px * sumsq_s - sum_s * sum_s)) div (9 * n_px * n_px)"
+        ).alias("var_gray_milli"),
+        "ahash64",
     ).orderBy("image_id")
+
+
+def oracle_image_stats():
+    # closed-form evaluation of the deterministic rgb8 byte pattern
+    # v(i) = (i*a + b) % 256 (sources/images._gen_image_bytes): channel sums,
+    # gray moments from the per-pixel 3-channel total, and the integer aHash
+    # (bit j iff 64 * block_sum_j > total) reassembled from 32-bit halves
+    # with the uint64 -> int64 wrap
+    return """
+    WITH img AS (
+      SELECT printf('img_%012d', o_orderkey) AS image_id,
+             CAST(32 + (o_orderkey % 8) * 8 AS BIGINT) AS w,
+             CAST(32 + (o_orderkey % 5) * 8 AS BIGINT) AS h,
+             o_orderkey % 251 + 1 AS a, o_orderkey % 65521 AS b
+      FROM orders WHERE o_orderkey % 75 = 0
+    ),
+    pix AS (
+      SELECT image_id, w, h, p,
+             ((3 * p) * a + b) % 256 AS r,
+             ((3 * p + 1) * a + b) % 256 AS g,
+             ((3 * p + 2) * a + b) % 256 AS bl
+      FROM img, unnest(generate_series(0, w * h - 1)) AS t(p)
+    ),
+    mom AS (
+      SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(bl) AS BIGINT) AS sum_b,
+             CAST(sum(r + g + bl) AS BIGINT) AS sum_s,
+             CAST(sum((r + g + bl) * (r + g + bl)) AS BIGINT) AS sumsq_s
+      FROM pix GROUP BY image_id
+    ),
+    blocks AS (
+      SELECT image_id,
+             ((p // w) // (h // 8)) * 8 + ((p % w) // (w // 8)) AS j,
+             CAST(sum(r + g + bl) AS BIGINT) AS bs
+      FROM pix GROUP BY image_id, j
+    ),
+    tot AS (SELECT image_id, CAST(sum(bs) AS BIGINT) AS total FROM blocks GROUP BY image_id),
+    hash AS (
+      SELECT b.image_id,
+             CAST(sum(CASE WHEN 64 * b.bs > t.total AND b.j < 32
+                           THEN CAST(1 AS BIGINT) << b.j ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN 64 * b.bs > t.total AND b.j >= 32
+                           THEN CAST(1 AS BIGINT) << (b.j - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM blocks b JOIN tot t USING (image_id) GROUP BY b.image_id
+    )
+    SELECT m.image_id, m.n_px,
+           (1000 * m.sum_r) // m.n_px AS mean_r_milli,
+           (1000 * m.sum_g) // m.n_px AS mean_g_milli,
+           (1000 * m.sum_b) // m.n_px AS mean_b_milli,
+           (1000 * (m.n_px * m.sumsq_s - m.sum_s * m.sum_s)) // (9 * m.n_px * m.n_px) AS var_gray_milli,
+           CAST(CASE WHEN h.hi >= 2147483648
+                THEN CAST(h.hi AS HUGEINT) * 4294967296 + h.lo - 18446744073709551616
+                ELSE CAST(h.hi AS HUGEINT) * 4294967296 + h.lo END AS BIGINT) AS ahash64
+    FROM mom m JOIN hash h USING (image_id)
+    ORDER BY m.image_id
+    """
 
 
 _TILE_SNAPSHOT = "/tmp/a5spark_oracle/tile_assigned_r8"
@@ -1572,6 +1798,8 @@ QUERIES = {
     "polyfill_cover": q_polyfill_cover,
     "pip_join": q_pip_join,
     "line_trace": q_line_trace,
+    "grid_disk": q_grid_disk,
+    "skewed_density": q_skewed_density,
     "focal_smoothing": q_focal_smoothing,
     "hot_region_vectorize": q_hot_region_vectorize,
     "s2_crossindex": q_s2_crossindex,
@@ -1605,7 +1833,12 @@ ORACLES = {
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
+    "image_stats": oracle_image_stats(),
     "focal_smoothing": oracle_focal_smoothing(),
+    "line_trace": oracle_line_trace(),
+    "pip_join": oracle_pip_join(),
+    "grid_disk": oracle_grid_disk(),
+    "skewed_density": oracle_skewed_density(),
     "hot_region_vectorize": oracle_hot_region_vectorize(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),

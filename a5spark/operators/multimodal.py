@@ -103,6 +103,80 @@ def image_stats(df: DataFrame) -> DataFrame:
     )
 
 
+_MOMENTS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_s", LongType()),
+        StructField("sumsq_s", LongType()),
+        StructField("ahash64", LongType()),
+    ]
+)
+
+
+def image_moments(df: DataFrame) -> DataFrame:
+    """Integer-exact per-image moments + perceptual hash over decoded pixels:
+
+      n_px                 pixel count (w*h)
+      sum_r/g/b            per-channel byte sums
+      sum_s, sumsq_s       sum and sum-of-squares of the per-pixel 3-channel
+                           total s_p (gray stats derive exactly: mean_gray =
+                           sum_s/(3 n_px), var_gray = (n sumsq_s - sum_s^2) /
+                           (9 n^2))
+      ahash64              8x8 average hash in PURE INTEGER form: bit j set
+                           iff 64 * block_sum_j > total_sum over the trimmed
+                           (8*floor(h/8)) x (8*floor(w/8)) region — the same
+                           threshold as the float aHash but with no float
+                           noise, so it is bit-identical across engines and
+                           platforms (uint64 bit pattern viewed as int64)
+
+    Everything stays in int64 (worst case ~2^45 for sumsq at 96x64) — unlike
+    the float stats these compare bit-for-bit against an independent engine's
+    closed-form evaluation, which makes the whole decode path oracle-gateable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for img_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                w, h = int(w), int(h)
+                px = decode_image(data, w, h, fmt).astype(np.int64)
+                s = px.sum(axis=2)  # (h, w) per-pixel channel totals
+                bh, bw = h // 8, w // 8
+                blocks = (
+                    s[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                )
+                total = int(blocks.sum())
+                bits = (64 * blocks > total).ravel()
+                ahash = np.bitwise_or.reduce(
+                    np.left_shift(
+                        bits.astype(np.uint64), np.arange(64, dtype=np.uint64)
+                    )
+                )
+                rows.append(
+                    (
+                        img_id,
+                        w * h,
+                        int(px[..., 0].sum()),
+                        int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int(np.uint64(ahash).astype(np.int64)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _MOMENTS_SCHEMA])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, _MOMENTS_SCHEMA
+    )
+
+
 _CHECKSUM_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

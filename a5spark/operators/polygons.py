@@ -153,6 +153,7 @@ def pip_refine(
     lat: str = "lat",
     id_col: str = "polygon_id",
     rings_col: str = "rings_json",
+    chunk_polygons: int = 100_000,
 ) -> DataFrame:
     """Exact point-in-polygon refinement of join candidates: prepared-polygon
     containment (cap -> crossing-number -> winding fallback) streamed with
@@ -160,9 +161,33 @@ def pip_refine(
     #polygons — a continent-sized polygon's candidates stay spread across the
     cluster instead of funneling into one task. The polygon layer (the small
     side by construction) is broadcast once; prepared structures are built
-    once per executor per polygon via a worker-level cache."""
+    once per executor per polygon via a worker-level cache.
+
+    The driver-side rings collect is BOUNDED: layers beyond `chunk_polygons`
+    are processed in deterministic hash chunks (one filtered collect +
+    broadcast per chunk, candidates routed by the same hash, results
+    unioned) — a 10^6-polygon layer degrades to more passes instead of a
+    driver OOM."""
     schema = df.schema
     spark = df.sparkSession
+
+    n_poly = polygons.count()
+    if n_poly > chunk_polygons:
+        n_chunks = -(-n_poly // chunk_polygons)
+        chunk_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+        parts = [
+            pip_refine(
+                df.filter(chunk_of == c),
+                polygons.filter(chunk_of == c),
+                lon, lat, id_col, rings_col,
+                chunk_polygons=2**63 - 1,  # chunks collect directly
+            )
+            for c in range(n_chunks)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     rings_by_id = {
         r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
     }

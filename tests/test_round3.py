@@ -223,3 +223,43 @@ def test_ann_chunked_query_fleet_matches_broadcast(spark):
     one = quantized_topk(queries, df, k=3, max_broadcast_queries=10**6)
     key = lambda r: (r["q_id"], r["rank"], r["vec_id"], r["qdot"])
     assert sorted(map(key, big.collect())) == sorted(map(key, one.collect()))
+
+
+def test_pip_refine_chunked_large_layer(spark):
+    """pip_refine with a 10^5-polygon layer: the driver collect is chunked
+    (5 hash chunks at chunk_polygons=20k) and the result equals the
+    single-broadcast path."""
+    import json
+
+    from a5spark.operators.polygons import pip_refine
+
+    def box(i):
+        lon = float((i * 7) % 340 - 170)
+        lat = float((i * 13) % 160 - 80)
+        return json.dumps(
+            [[[lon, lat], [lon + 1.0, lat], [lon + 1.0, lat + 1.0], [lon, lat + 1.0]]]
+        )
+
+    n_poly = 100_000
+    polys = spark.createDataFrame(
+        [(f"p{i:06d}", box(i)) for i in range(n_poly)],
+        ["polygon_id", "rings_json"],
+    )
+    # candidates: center point (inside) and a far point (outside) for 40 polys
+    cand_rows = []
+    for i in range(0, 4000, 100):
+        lon = float((i * 7) % 340 - 170)
+        lat = float((i * 13) % 160 - 80)
+        cand_rows.append((f"p{i:06d}", f"in_{i}", lon + 0.5, lat + 0.5))
+        cand_rows.append((f"p{i:06d}", f"out_{i}", lon + 5.0, lat + 0.5))
+    cand = spark.createDataFrame(
+        cand_rows, ["polygon_id", "point_id", "lon", "lat"]
+    )
+    chunked = pip_refine(cand, polys, chunk_polygons=20_000)
+    single = pip_refine(cand, polys, chunk_polygons=10**9)
+    key = lambda r: (r["polygon_id"], r["point_id"])
+    got = sorted(map(key, chunked.collect()))
+    exp = sorted(map(key, single.collect()))
+    assert got == exp
+    assert len(got) == 40  # exactly the inside points survive
+    assert all(p.startswith("in_") for _, p in got)
