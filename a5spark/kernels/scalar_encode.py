@@ -362,112 +362,335 @@ def _margins_batch(face_xy, hres, quintant, x, y, flavor):
     return np.minimum(1.0, contrib.min(axis=1))
 
 
+# scalar-libm transcendental loops: every sin/cos/tan/acos/atan2 still goes
+# through CPython math.* (the bitwise-parity requirement); only the
+# SURROUNDING pure-float arithmetic is vectorized — IEEE +,-,*,/,sqrt,floor,
+# rint are correctly rounded and therefore bit-identical in numpy and math.
+
+def _m_atan2(y, x):
+    return np.array(
+        list(map(math.atan2, y.ravel().tolist(), x.ravel().tolist()))
+    ).reshape(y.shape)
+
+
+def _m_unary(arr, f):
+    return np.array(list(map(f, arr.ravel().tolist()))).reshape(arr.shape)
+
+
+def _tquat_batch(vx, vy, vz, q):
+    """Vector rotate-by-quaternion, op-for-op the scalar _tquat (pure
+    arithmetic -> bitwise identical). q: (m, 4); v components broadcastable."""
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    uvx = qy * vz - qz * vy
+    uvy = qz * vx - qx * vz
+    uvz = qx * vy - qy * vx
+    uuvx = qy * uvz - qz * uvy
+    uuvy = qz * uvx - qx * uvz
+    uuvz = qx * uvy - qy * uvx
+    w2 = qw * 2
+    return vx + uvx * w2 + uuvx * 2, vy + uvy * w2 + uuvy * 2, vz + uvz * w2 + uuvz * 2
+
+
+def _nearest_origin_cartesian_batch(carts):
+    """argmin over the 12 origin axes; strict-< scan == first-occurrence
+    argmin, per-origin dot product in the scalar's left-to-right order."""
+    m = carts.shape[0]
+    d = np.empty((m, 12))
+    for i in range(12):
+        ax = ORIGIN_AXIS_CART[i]
+        d[:, i] = 1.0 - (carts[:, 0] * ax[0] + carts[:, 1] * ax[1] + carts[:, 2] * ax[2])
+    return np.argmin(d, axis=1)
+
+
+def _dodec_forward_batch(carts, origin_ids):
+    """Batch twin of _dodec_forward (scalar dodecahedron.py:49-74): math.*
+    transcendentals element-wise, everything else exact IEEE vector ops."""
+    q = ORIGIN_INV_QUAT[origin_ids]
+    rx, ry, rz = _tquat_batch(carts[:, 0], carts[:, 1], carts[:, 2], q)
+    theta = _m_atan2(ry, rx)
+    r = np.sqrt(rx**2 + ry**2 + rz**2)
+    phi = _m_unary(rz / r, math.acos)
+    rho = _m_unary(phi, math.tan)
+    gamma = theta - ORIGIN_ANGLE[origin_ids]
+
+    tri_idx = (np.floor(gamma / PI_OVER_5).astype(np.int64) + 10) % 10
+    segment = gamma / TWO_PI_OVER_5
+    beta = (segment - np.rint(segment)) * TWO_PI_OVER_5
+    reflect = (rho * _m_unary(beta, math.cos) > DISTANCE_TO_EDGE).astype(np.int64)
+
+    ABC = SPH_TRI[origin_ids, tri_idx, reflect]  # (m, 3, 3)
+    P123 = FACE_TRI[tri_idx, reflect]  # (m, 3, 2)
+    A0, A1, A2 = ABC[:, 0, 0], ABC[:, 0, 1], ABC[:, 0, 2]
+    B0, B1, B2 = ABC[:, 1, 0], ABC[:, 1, 1], ABC[:, 1, 2]
+    C0, C1, C2 = ABC[:, 2, 0], ABC[:, 2, 1], ABC[:, 2, 2]
+    cx, cy, cz = carts[:, 0], carts[:, 1], carts[:, 2]
+
+    bxc0 = B1 * C2 - B2 * C1
+    bxc1 = B2 * C0 - B0 * C2
+    bxc2 = B0 * C1 - B1 * C0
+    volume_vbc = cx * bxc0 + cy * bxc1 + cz * bxc2
+    P0 = cx * EA_VOLUME_ABC - A0 * volume_vbc
+    P1 = cy * EA_VOLUME_ABC - A1 * volume_vbc
+    P2 = cz * EA_VOLUME_ABC - A2 * volume_vbc
+    D = np.sqrt(P0**2 + P1**2 + P2**2)
+    with np.errstate(divide="ignore"):
+        ooD = np.where(D > 0, 1.0 / D, 1.0)
+    P0, P1, P2 = P0 * ooD, P1 * ooD, P2 * ooD
+
+    # _sta(A, B, P) with the scalar's exact expression order
+    norm = (
+        1.0
+        + (A0 * B0 + A1 * B1 + A2 * B2)
+        + (B0 * P0 + B1 * P1 + B2 * P2)
+        + (P0 * A0 + P1 * A1 + P2 * A2)
+    )
+    tp = (
+        A0 * (B1 * P2 - B2 * P1)
+        + A1 * (B2 * P0 - B0 * P2)
+        + A2 * (B0 * P1 - B1 * P0)
+    )
+    sta = 2.0 * _m_atan2(tp, norm)
+    area_abp = np.where(sta > 0.0, sta, 0.0)  # == max(0.0, sta), NaN -> 0.0
+    alpha = area_abp / EA_AREA_ABC
+    AdotP = A0 * P0 + A1 * P1 + A2 * P2
+    AdotV = A0 * cx + A1 * cy + A2 * cz
+    rho2 = (D / EA_VOLUME_ABC) * np.sqrt((1.0 + AdotP) / (1.0 + AdotV))
+    b0 = 1.0 - rho2
+    b1 = rho2 * (1.0 - alpha)
+    b2 = rho2 * alpha
+    fx = b0 * P123[:, 0, 0] + b1 * P123[:, 1, 0] + b2 * P123[:, 2, 0]
+    fy = b0 * P123[:, 0, 1] + b1 * P123[:, 1, 1] + b2 * P123[:, 2, 1]
+    return fx, fy
+
+
+# cos/sin(-2*PI_OVER_5*q) for q = 0..4, computed with the scalar's exact
+# math.* calls (same literal inputs -> same libm outputs)
+_COS_NEG_EXTRA = np.array(
+    [math.cos(-(2 * PI_OVER_5 * q)) for q in range(5)]
+)
+_SIN_NEG_EXTRA = np.array(
+    [math.sin(-(2 * PI_OVER_5 * q)) for q in range(5)]
+)
+
+
+def _estimate_inputs_batch(fx, fy, origin_ids, resolution):
+    """Batch twin of _estimate_inputs: per-element math.atan2, table-driven
+    quintant rotation (only 5 distinct angles), batched segment lookup."""
+    gamma = _m_atan2(fy, fx)
+    quintant = (np.rint(gamma / TWO_PI_OVER_5).astype(np.int64) + 5) % 5
+    seg, orient = quintant_to_segment(quintant, origin_ids)
+    c = _COS_NEG_EXTRA[quintant]
+    s = _SIN_NEG_EXTRA[quintant]
+    rot_x = c * fx - s * fy
+    rot_y = s * fx + c * fy
+    nz = quintant != 0  # scalar path rotates only when quintant != 0
+    fx = np.where(nz, rot_x, fx)
+    fy = np.where(nz, rot_y, fy)
+    hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
+    sf = float(2**hres)
+    fx = fx * sf
+    fy = fy * sf
+    i = BASIS_INV[0, 0] * fx + BASIS_INV[0, 1] * fy
+    j = BASIS_INV[1, 0] * fx + BASIS_INV[1, 1] * fy
+    return seg, orient, quintant, i, j
+
+
+def _from_lonlat_batch(lon, lat):
+    """Batch twin of _from_lonlat: math.sin/cos element-wise, the authalic
+    Clenshaw chain as exact IEEE vector algebra."""
+    theta = (lon + LONGITUDE_OFFSET_DEG) * DEG2RAD
+    phi_in = lat * DEG2RAD
+    sin_phi = _m_unary(phi_in, math.sin)
+    cos_phi = _m_unary(phi_in, math.cos)
+    X = 2.0 * (cos_phi - sin_phi) * (cos_phi + sin_phi)
+    C = _GEODETIC_TO_AUTHALIC
+    u0 = X * C[5] + C[4]
+    u1 = X * u0 + C[3]
+    u0 = X * u1 - u0 + C[2]
+    u1 = X * u0 - u1 + C[1]
+    u0 = X * u1 - u0 + C[0]
+    authalic = phi_in + 2.0 * sin_phi * cos_phi * u0
+    return theta, math.pi / 2 - authalic
+
+
+def _to_cartesian_batch(theta, phi):
+    sp = _m_unary(phi, math.sin)
+    out = np.empty((theta.size, 3))
+    out[:, 0] = sp * _m_unary(theta, math.cos)
+    out[:, 1] = sp * _m_unary(theta, math.sin)
+    out[:, 2] = _m_unary(phi, math.cos)
+    return out
+
+
+def _nearest_origin_spherical_batch(theta, phi):
+    """Batch twin of _nearest_origin_spherical: per-origin math.sin loops,
+    strict-< scan == first-occurrence argmin."""
+    n = theta.size
+    sphi = _m_unary(phi, math.sin)  # math.sin(phi) recomputed per origin in
+    # the scalar loop — same input, same libm result, so hoisting is exact
+    d = np.empty((n, 12))
+    for i in range(12):
+        th2, ph2 = ORIGIN_AXIS_SPH[i]
+        a1 = _m_unary((ph2 - phi) / 2, math.sin)
+        a2 = _m_unary((th2 - theta) / 2, math.sin)
+        d[:, i] = a1 * a1 + a2 * a2 * sphi * math.sin(ph2)
+    return np.argmin(d, axis=1)
+
+
+def _spiral_quat_batch(carts):
+    """Batch twin of the pole->point spiral quaternion (gl-matrix
+    rotation_to): generic normalized form, pole rows patched by mask."""
+    dot = carts[:, 2]
+    qx = -carts[:, 1]
+    qy = carts[:, 0]
+    qw = 1.0 + dot
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ln = np.sqrt(qx * qx + qy * qy + 0.0 + qw * qw)
+        inv = 1.0 / ln
+    q = np.empty((carts.shape[0], 4))
+    q[:, 0] = qx * inv
+    q[:, 1] = qy * inv
+    q[:, 2] = 0.0
+    q[:, 3] = qw * inv
+    south = dot < -0.999999
+    north = dot > 0.999999
+    q[south] = (0.0, -math.sin(math.pi / 2), 0.0, math.cos(math.pi / 2))
+    q[north] = (0.0, 0.0, 0.0, 1.0)
+    return q
+
+
 def spiral_search_batch(rows, resolution, lonlat=None, theta_phi=None):
     """Reference-order spiral search for a batch of rows.
 
     rows: list of row indices (for error messages only); geodetic inputs come
     from `lonlat` (lon_arr, lat_arr — full reference chain) or `theta_phi`.
-    Returns uint64 keys, one per row."""
+    Returns uint64 keys, one per row.
+
+    Decision-for-decision identical to spherical_to_cell_scalar: stage 1
+    batches the estimate candidate for every row and EARLY-ACCEPTS positive
+    margins (the scalar path's first return, the common case); only residual
+    rows pay the 24-sample spiral. All pure-float algebra is exact IEEE
+    vector math; every transcendental still goes through math.* element-wise
+    (bitwise parity asserted by test_spiral_batch_matches_scalar)."""
     n = len(rows)
     hres = 1 + resolution - FIRST_HILBERT_RESOLUTION
 
-    # --- phase A: per-row math.* geometry, collecting candidate curve inputs
-    K = SPIRAL_SAMPLE_COUNT + 1  # estimate + spiral samples
-    c_orig = np.zeros((n, K), dtype=np.int64)
-    c_seg = np.zeros((n, K), dtype=np.int64)
-    c_orient = np.zeros((n, K), dtype=np.int64)
-    c_quint = np.zeros((n, K), dtype=np.int64)
-    c_i = np.zeros((n, K))
-    c_j = np.zeros((n, K))
-    carts = []
-    face_cache = []  # per row: {origin_id: (fx, fy)} of the ORIGINAL point
-    for r in range(n):
-        if lonlat is not None:
-            theta, phi = _from_lonlat(float(lonlat[0][r]), float(lonlat[1][r]))
-        else:
-            theta, phi = float(theta_phi[0][r]), float(theta_phi[1][r])
-        cart = _to_cartesian(theta, phi)
-        carts.append(cart)
-        cache = {}
-        face_cache.append(cache)
-        oid = _nearest_origin_spherical(theta, phi)
-        face = _dodec_forward(cart, oid)
-        cache[oid] = face
-        seg, orient, q, i, j = _estimate_inputs(face, oid, resolution)
-        c_orig[r, 0], c_seg[r, 0], c_orient[r, 0], c_quint[r, 0] = oid, seg, orient, q
-        c_i[r, 0], c_j[r, 0] = i, j
+    # --- stage 0: batched geodetic prefix
+    if lonlat is not None:
+        theta, phi = _from_lonlat_batch(
+            np.asarray(lonlat[0], dtype=np.float64),
+            np.asarray(lonlat[1], dtype=np.float64),
+        )
+    else:
+        theta = np.asarray(theta_phi[0], dtype=np.float64)
+        phi = np.asarray(theta_phi[1], dtype=np.float64)
+    carts = _to_cartesian_batch(theta, phi)
+    oid0 = _nearest_origin_spherical_batch(theta, phi)
 
-        # spiral quaternion (pole -> point)
-        dot = cart[2]
-        if dot < -0.999999:
-            qt = (0.0, -math.sin(math.pi / 2), 0.0, math.cos(math.pi / 2))
-        elif dot > 0.999999:
-            qt = (0.0, 0.0, 0.0, 1.0)
-        else:
-            qx, qy, qz, qw = -cart[1], cart[0], 0.0, 1.0 + dot
-            ln = math.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-            inv = 1.0 / ln
-            qt = (qx * inv, qy * inv, qz * inv, qw * inv)
-        scale = _SPIRAL_SCALE_RAD / (2 ** hres)
-        for si in range(SPIRAL_SAMPLE_COUNT):
-            d = _tquat(_DIRS[si], qt)
-            R = ((si + 1) / (SPIRAL_SAMPLE_COUNT + 1)) * scale
-            sample = (cart[0] + d[0] * R, cart[1] + d[1] * R, cart[2] + d[2] * R)
-            s_oid = _nearest_origin_cartesian(sample)
-            s_face = _dodec_forward(sample, s_oid)
-            seg2, orient2, q2, i2, j2 = _estimate_inputs(s_face, s_oid, resolution)
-            col = si + 1
-            c_orig[r, col], c_seg[r, col] = s_oid, seg2
-            c_orient[r, col], c_quint[r, col] = orient2, q2
-            c_i[r, col], c_j[r, col] = i2, j2
-
-    # --- phase B: one batched curve/serialize/margin pass over N*K candidates
-    flat_orient = c_orient.ravel()
-    S = ij_to_s(c_i.ravel(), c_j.ravel(), hres, flat_orient)
-    keys = serialize(c_orig.ravel(), c_seg.ravel(), S, resolution).reshape(n, K)
-    x, y, z, flavor = s_to_cell(S, hres, flat_orient)
-    # margin of the ORIGINAL point vs each candidate pentagon, in the
-    # candidate origin's face frame (math.* per distinct (row, origin))
-    face_xy = np.zeros((n * K, 2))
-    flat_orig = c_orig.ravel()
-    for r in range(n):
-        cache = face_cache[r]
-        for col in range(K):
-            oid = int(flat_orig[r * K + col])
-            f = cache.get(oid)
-            if f is None:
-                f = _dodec_forward(carts[r], oid)
-                cache[oid] = f
-            face_xy[r * K + col] = f
-    margins = _margins_batch(
-        face_xy, hres, c_quint.ravel(), x, y, flavor
-    ).reshape(n, K)
-
-    # --- phase C: per-row reference-order sequencing over precomputed values
+    # --- stage 1: estimate candidate per row, early-accept positive margins
+    fx0, fy0 = _dodec_forward_batch(carts, oid0)
+    seg0, orient0, quint0, i0, j0 = _estimate_inputs_batch(
+        fx0, fy0, oid0, resolution
+    )
+    S0 = ij_to_s(i0, j0, hres, orient0)
+    keys0 = serialize(oid0, seg0, S0, resolution)
+    x0, y0, z0, fl0 = s_to_cell(S0, hres, orient0)
+    m0 = _margins_batch(
+        np.stack([fx0, fy0], axis=1), hres, quint0, x0, y0, fl0
+    )
     out = np.zeros(n, dtype=np.uint64)
-    pending = []  # rows entering the neighbor stage: (r, [(key, margin)...])
-    for r in range(n):
-        seen = set()
-        cells = []
-        answer = None
-        for col in range(K):
-            key = int(keys[r, col])
-            if key in seen:
-                continue
-            seen.add(key)
-            m = float(margins[r, col])
-            if m > 0:
-                answer = key
-                break
-            cells.append((key, m))
-        if answer is not None:
-            out[r] = np.uint64(answer)
-        else:
-            cells.sort(key=lambda kv: kv[1], reverse=True)
-            pending.append((r, seen, cells))
-
-    if not pending:
+    done = m0 > 0
+    out[done] = keys0[done]
+    resid = np.where(~done)[0]
+    if resid.size == 0:
         return out
+
+    # --- stage 2: spiral samples for residual rows, in CHUNKS — nearly all
+    # residual rows accept within the first few samples, so each chunk
+    # resolves most of its rows and the next chunk's batch shrinks (the
+    # reference's sample order and dedup/margin decisions are preserved
+    # exactly; persistent per-row seen/cells state carries across chunks)
+    scale = _SPIRAL_SCALE_RAD / (2 ** hres)
+    dirs = np.asarray(_DIRS)
+    R = (
+        np.arange(1, SPIRAL_SAMPLE_COUNT + 1) / (SPIRAL_SAMPLE_COUNT + 1)
+    ) * scale
+    seen_map = {}
+    cells_map = {}
+    for g, k0, mm in zip(resid, keys0[resid], m0[resid]):
+        seen_map[int(g)] = {int(k0)}
+        cells_map[int(g)] = [(int(k0), float(mm))]
+    active = resid.copy()
+    _CHUNK = 6
+    for c0 in range(0, SPIRAL_SAMPLE_COUNT, _CHUNK):
+        if active.size == 0:
+            break
+        c1 = min(c0 + _CHUNK, SPIRAL_SAMPLE_COUNT)
+        ch = c1 - c0
+        carts_a = carts[active]
+        qts = _spiral_quat_batch(carts_a)
+        dx, dy, dz = _tquat_batch(
+            dirs[None, c0:c1, 0],
+            dirs[None, c0:c1, 1],
+            dirs[None, c0:c1, 2],
+            qts[:, None, :],
+        )
+        samp = np.empty((active.size, ch, 3))
+        samp[:, :, 0] = carts_a[:, 0:1] + dx * R[c0:c1]
+        samp[:, :, 1] = carts_a[:, 1:2] + dy * R[c0:c1]
+        samp[:, :, 2] = carts_a[:, 2:3] + dz * R[c0:c1]
+        flat_samp = samp.reshape(-1, 3)
+        s_orig = _nearest_origin_cartesian_batch(flat_samp)
+        sfx, sfy = _dodec_forward_batch(flat_samp, s_orig)
+        s_seg, s_orient, s_quint, s_i, s_j = _estimate_inputs_batch(
+            sfx, sfy, s_orig, resolution
+        )
+        Ss = ij_to_s(s_i, s_j, hres, s_orient)
+        keys_c = serialize(s_orig, s_seg, Ss, resolution).reshape(
+            active.size, ch
+        )
+        xs, ys, zs, fls = s_to_cell(Ss, hres, s_orient)
+        # margin of the ORIGINAL point vs each sample pentagon, in the sample
+        # origin's frame (recomputation is deterministic — no cache needed)
+        mfx, mfy = _dodec_forward_batch(np.repeat(carts_a, ch, axis=0), s_orig)
+        margins_c = _margins_batch(
+            np.stack([mfx, mfy], axis=1), hres, s_quint, xs, ys, fls
+        ).reshape(active.size, ch)
+
+        next_active = []
+        for idx in range(active.size):
+            g = int(active[idx])
+            seen = seen_map[g]
+            cells = cells_map[g]
+            answer = None
+            for j in range(ch):
+                key = int(keys_c[idx, j])
+                if key in seen:
+                    continue
+                seen.add(key)
+                mj = float(margins_c[idx, j])
+                if mj > 0:
+                    answer = key
+                    break
+                cells.append((key, mj))
+            if answer is not None:
+                out[g] = np.uint64(answer)
+                del seen_map[g], cells_map[g]
+            else:
+                next_active.append(g)
+        active = np.array(next_active, dtype=np.int64)
+
+    if active.size == 0:
+        return out
+
+    # rows exhausting all samples enter the neighbor stage (phase D)
+    resid = active
+    carts_r = carts[active]
+    pending = []
+    for i_l, g in enumerate(active):
+        cells = cells_map[int(g)]
+        cells.sort(key=lambda kv: kv[1], reverse=True)
+        pending.append((i_l, seen_map[int(g)], cells))
 
     # --- phase D: neighbors of the best three candidates, batched per res
     nb_keys_per_row = []
@@ -518,14 +741,8 @@ def spiral_search_batch(rows, resolution, lonlat=None, theta_phi=None):
             m = res2 == rr
             hr2 = int(rr) - FIRST_HILBERT_RESOLUTION + 1
             x2, y2, z2, fl2 = s_to_cell(S2[m], hr2, orient2[m])
-            fxy = np.zeros((int(m.sum()), 2))
-            for ii, (r_i, o_i) in enumerate(zip(fr[m], o2[m])):
-                cache = face_cache[int(r_i)]
-                f = cache.get(int(o_i))
-                if f is None:
-                    f = _dodec_forward(carts[int(r_i)], int(o_i))
-                    cache[int(o_i)] = f
-                fxy[ii] = f
+            nfx, nfy = _dodec_forward_batch(carts_r[fr[m]], o2[m])
+            fxy = np.stack([nfx, nfy], axis=1)
             mg = _margins_batch(fxy, hr2, q2[m], x2, y2, fl2)
             for ii, idx in enumerate(np.where(m)[0]):
                 nb_margin[(int(fr[idx]), int(fk[idx]))] = float(mg[ii])
@@ -547,7 +764,7 @@ def spiral_search_batch(rows, resolution, lonlat=None, theta_phi=None):
         if answer is None:
             cells.sort(key=lambda kv: kv[1], reverse=True)
             answer = cells[0][0]
-        out[r] = np.uint64(answer)
+        out[resid[r]] = np.uint64(answer)
     return out
 
 
