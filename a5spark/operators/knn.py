@@ -288,9 +288,12 @@ def knn_join(
             break
         done = cache.persist(scored.filter(F.col("__n_cand") >= k).drop("__n_cand"))
         out = done if out is None else out.unionByName(done)
+        # no per-round isEmpty(): an empty `remaining` flows through later
+        # rounds as empty joins at near-zero cost, while an isEmpty probe
+        # costs a driver action (job) per round — the whole chain stays lazy
+        # until the caller's single action, and the persisted per-round
+        # frames still materialize exactly once
         remaining = cache.persist(
             remaining.join(done.select(query_id).distinct(), query_id, "left_anti")
         )
-        if remaining.isEmpty():
-            break
     return out
