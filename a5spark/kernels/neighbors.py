@@ -154,14 +154,16 @@ def cell_neighbors_batch(
                               orientation, origin, segment, res, max_row, exclude_s=S)
     else:
         n_deltas = 5 if edge_only else 7
-        deltas = NEIGHBOR_DELTAS[flavor][:, :n_deltas]  # (N, D, 3)
         for d in range(n_deltas):
+            # per-delta (N,) gathers instead of one (N, D, 3) gather — same
+            # values, far smaller peak allocations (this matters on hosts
+            # where first-touch page faults dominate large fresh arrays)
             _emit(
                 acc,
                 rows_all,
-                x + deltas[:, d, 0],
-                y + deltas[:, d, 1],
-                z + deltas[:, d, 2],
+                x + NEIGHBOR_DELTAS[flavor, d, 0],
+                y + NEIGHBOR_DELTAS[flavor, d, 1],
+                z + NEIGHBOR_DELTAS[flavor, d, 2],
                 hres,
                 orientation,
                 origin,
@@ -179,24 +181,30 @@ def cell_neighbors_batch(
         if not mask.any():
             return
         rows = rows_all[mask]
-        bx, by, bz = base_xyz
-        t_seg, t_orient = quintant_to_segment(t_quintant[mask], t_origin[mask])
+        # hoist the subset gathers out of the variant/delta loops (the old
+        # bx[mask][vm] form re-indexed the full array per delta)
+        bx, by, bz = (a[mask] for a in base_xyz)
+        t_org = t_origin[mask]
+        t_seg, t_orient = quintant_to_segment(t_quintant[mask], t_org)
         di = (parity if per_parity_only else delta_idx)[mask]
         for variant in np.unique(di):
             vm = di == variant
+            rows_v = rows[vm]
+            bxv, byv, bzv = bx[vm], by[vm], bz[vm]
+            t_orient_v, t_org_v, t_seg_v = t_orient[vm], t_org[vm], t_seg[vm]
             for dx, dy, dz, is_edge in table[variant]:
                 if edge_only and not is_edge:
                     continue
                 _emit(
                     acc,
-                    rows[vm],
-                    bx[mask][vm] + dx,
-                    by[mask][vm] + dy,
-                    bz[mask][vm] + dz,
+                    rows_v,
+                    bxv + dx,
+                    byv + dy,
+                    bzv + dz,
                     hres,
-                    t_orient[vm],
-                    t_origin[mask][vm],
-                    t_seg[vm],
+                    t_orient_v,
+                    t_org_v,
+                    t_seg_v,
                     res,
                     max_row,
                 )

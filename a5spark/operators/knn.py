@@ -288,12 +288,15 @@ def knn_join(
             break
         done = cache.persist(scored.filter(F.col("__n_cand") >= k).drop("__n_cand"))
         out = done if out is None else out.unionByName(done)
-        # no per-round isEmpty(): an empty `remaining` flows through later
-        # rounds as empty joins at near-zero cost, while an isEmpty probe
-        # costs a driver action (job) per round — the whole chain stays lazy
-        # until the caller's single action, and the persisted per-round
-        # frames still materialize exactly once
         remaining = cache.persist(
             remaining.join(done.select(query_id).distinct(), query_id, "left_anti")
         )
+        # Per-round isEmpty probe, kept deliberately (measured): folding it
+        # away makes each residual round execute "empty" — but an empty round
+        # still schedules its repartition/window stages and Python-worker
+        # round-trips (~1s each on this host), which costs MORE than the one
+        # probe job. Most fleets resolve in round 1, so the probe typically
+        # fires once and cuts the remaining rounds entirely.
+        if remaining.isEmpty():
+            break
     return out

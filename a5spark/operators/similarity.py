@@ -341,6 +341,8 @@ def neardup_candidate_pairs(
     table's (possibly cap-refined) bucket. Exposed separately so candidate
     VOLUME is measurable — the subquadratic guarantee under bucket_cap is
     what makes the near-dup family usable at corpus scale."""
+    from a5spark import cache
+
     assign = df.select(
         F.col(id_col),
         F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
@@ -348,11 +350,19 @@ def neardup_candidate_pairs(
         ),
     )
     if bucket_cap is not None:
+        # persist: the width probe, the (conditional) refinement joins and
+        # the two self-join sides all reuse ONE evaluation of the hyperplane
+        # expression instead of recomputing it per reference
+        assign = cache.persist(assign)
         wide = _wide_buckets(assign, bucket_cap)
-        assign = _extend_assign(
-            assign, df.select(id_col, vec), wide, id_col, vec,
-            dim, n_bits, n_tables, scale, extra_bits,
-        )
+        if not wide.isEmpty():  # one tiny probe job; skips the whole
+            # refinement layer when no bucket is hot (the common case)
+            assign = cache.persist(
+                _extend_assign(
+                    assign, df.select(id_col, vec), wide, id_col, vec,
+                    dim, n_bits, n_tables, scale, extra_bits,
+                )
+            )
     b1 = assign.select(
         F.col(id_col).alias("id_a"), "__t", F.col("__bucket").alias("__b")
     )
@@ -487,18 +497,25 @@ def lsh_bucket_topk(
         ),
     )
     if bucket_cap is not None:
+        from a5spark import cache
+
         # hot buckets are determined by the POINT side (that's where volume
         # lives); BOTH sides then extend keys in those buckets with their own
-        # suffix so the equi-join stays aligned
+        # suffix so the equi-join stays aligned. The point assignment is
+        # persisted so the width probe and the bucket join share one
+        # evaluation; the probe also skips the refinement joins entirely
+        # when no bucket is hot (the common case).
+        pb = cache.persist(pb)
         wide = _wide_buckets(pb, bucket_cap)
-        pb = _extend_assign(
-            pb, points.select(point_id, vec), wide, point_id, vec,
-            dim, n_bits, n_tables, scale, extra_bits,
-        )
-        qb = _extend_assign(
-            qb, queries.select(query_id, vec), wide, query_id, vec,
-            dim, n_bits, n_tables, scale, extra_bits,
-        )
+        if not wide.isEmpty():
+            pb = _extend_assign(
+                pb, points.select(point_id, vec), wide, point_id, vec,
+                dim, n_bits, n_tables, scale, extra_bits,
+            )
+            qb = _extend_assign(
+                qb, queries.select(query_id, vec), wide, query_id, vec,
+                dim, n_bits, n_tables, scale, extra_bits,
+            )
     pairs = (
         qb.join(pb, ["__t", "__bucket"])
         .select(query_id, point_id)

@@ -33,6 +33,9 @@ AUDIT = [
     "focal_smoothing",
     "hot_region_vectorize",
     "image_checksums",
+    "image_stats",
+    "grid_disk",
+    "skewed_density",
 ]
 
 
