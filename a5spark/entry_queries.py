@@ -699,6 +699,106 @@ def oracle_simhash_neardup():
     """
 
 
+def q_crossmodal_neardup(spark, sf_dir):
+    """Cross-modal dedup confirmation: text near-dup candidate pairs (banded
+    simhash, hamming <= 3) verified against the EMBEDDING modality — each
+    pair is scored with the integer-exact quantized dot product of the two
+    docs' vectors (scale 127, int64) and flagged when the quantized cosine
+    clears sqrt(4/25). The training-pipeline pattern of requiring agreement
+    between modalities before dropping a row; every value cross-engine exact."""
+    from a5spark.operators.dedup import simhash_neardup
+    from a5spark.operators.similarity import quantize
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = simhash_neardup(docs, bits=32, bands=4, max_hamming=3)
+    qv = emb.select(
+        F.col("vec_id"), quantize(F.col("embedding"), 127).alias("__v")
+    ).withColumn(
+        "__n2",
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    a_side = qv.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__na")
+    )
+    b_side = qv.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2").alias("__nb")
+    )
+    scored = (
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    confirmed = (F.col("qdot") > 0) & (
+        F.col("qdot") * F.col("qdot") * 25 >= F.lit(4) * F.col("__na") * F.col("__nb")
+    )
+    return scored.select(
+        "id_a", "id_b", "hamming", "qdot",
+        confirmed.cast("int").alias("embed_confirms"),
+    ).orderBy("id_a", "id_b")
+
+
+def oracle_crossmodal_neardup():
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+    ), contrib AS (
+      SELECT doc_id, bit,
+             sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS s
+      FROM toks, unnest(generate_series(0, 31)) AS b(bit)
+      GROUP BY doc_id, bit
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> CAST(b * 8 AS INT)) & 255 AS slice
+      FROM sig, unnest(generate_series(0, 3)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.slice = b.slice AND a.doc_id < b.doc_id
+    ), txt AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ), qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
+    )
+    SELECT t.id_a, t.id_b, t.hamming,
+           CAST(list_dot_product(na.v, nb.v) AS BIGINT) AS qdot,
+           CAST(CASE WHEN list_dot_product(na.v, nb.v) > 0
+                      AND CAST(list_dot_product(na.v, nb.v) AS BIGINT)
+                          * CAST(list_dot_product(na.v, nb.v) AS BIGINT) * 25
+                          >= 4 * na.n2 * nb.n2
+                THEN 1 ELSE 0 END AS INT) AS embed_confirms
+    FROM txt t
+    JOIN n na ON na.vec_id = t.id_a
+    JOIN n nb ON nb.vec_id = t.id_b
+    ORDER BY t.id_a, t.id_b
+    """
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH candidate
     self-join + integer-exact cosine >= 0.4 threshold (int8-scale quantized,
@@ -1787,6 +1887,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "crossmodal_neardup": q_crossmodal_neardup,
     "embed_neardup": q_embed_neardup,
     "text_profile": q_text_profile,
     "lang_id": q_lang_id,
@@ -1823,6 +1924,7 @@ ORACLES = {
     "minhash_lsh": oracle_minhash_lsh(),
     "simhash": oracle_simhash(),
     "simhash_neardup": oracle_simhash_neardup(),
+    "crossmodal_neardup": oracle_crossmodal_neardup(),
     "embed_neardup": oracle_embed_neardup(),
     "text_profile": oracle_text_profile(),
     "lang_id": oracle_lang_id(),

@@ -185,6 +185,29 @@ def a5_cell_area_exact(cell: pd.Series) -> pd.Series:
     return pd.Series(cell_area_exact(cells))
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def a5_compact_list(cells: pd.Series) -> pd.Series:
+    """Kernel-compact each row's cell list (reference a5/core/compact.py
+    semantics via kernels/compact.compact). One exception kept from the
+    distributed operator's documented contract: the 12 res-0 cells are NOT
+    collapsed into the world cell — a whole-globe cover stays 12 cells (the
+    kernel's world result is expanded back)."""
+    from a5spark.kernels.compact import compact as kcompact
+    from a5spark.kernels.serialization import res0_cells
+
+    out = [None] * len(cells)
+    r0 = res0_cells()
+    for i, lst in enumerate(cells):
+        arr = kser.from_signed(np.asarray(lst, dtype=np.int64))
+        had_world = (kser.get_resolution(arr) < 0).any()
+        comp = kcompact(arr)
+        res = kser.get_resolution(comp)
+        if (res < 0).any() and not had_world:
+            comp = np.concatenate([comp[res >= 0], np.asarray(r0, dtype=np.uint64)])
+        out[i] = kser.to_signed(comp).tolist()
+    return pd.Series(out)
+
+
 def haversine_m(lat1, lon1, lat2, lon2):
     """Great-circle distance in meters as a native column expression
     (authalic-radius sphere). JVM-side — used for kNN distance refinement."""

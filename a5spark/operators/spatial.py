@@ -143,76 +143,59 @@ def compact_cover(
     4 Hilbert siblings (child res >= 2) or 5 quintants (child res 1) with the
     same parent. Works per `group_cols` partition (e.g. polygon_id).
 
-    Scale notes: one two-phase hash shuffle per resolution LEVEL PRESENT (keyed
-    by parent — a window computes group count and the emit-once rank in the
-    same pass); no driver-side iteration over rows, only a single min/max-res
-    probe job. Cover tables are small relative to point tables, so the whole
-    pass is cheap; promoted parents re-enter the next level so multi-level
-    collapses reach fixpoint exactly like the kernel (kernels/compact.py).
+    Scale notes: the descent is ANCHORED, not per-level — cells group by
+    their res-`a` ancestor (a = max(2, r_hi - 8), so a group holds at most
+    4^8 cells) and each group kernel-compacts to fixpoint in one vectorized
+    pass (collect_list + one Arrow batch UDF: one shuffle per ~8 resolution
+    levels instead of one window exchange per level). Surviving cells at the
+    anchor resolution re-anchor coarser until res 2, then one final global
+    pass (per group_cols) handles the 2 -> 1 -> 0 collapses. Collapse chains
+    never cross an anchor boundary, so the staged result equals the kernel's
+    global fixpoint.
 
     Precondition (same as the reference): no cell in the input is an ancestor
     of another input cell. Res-0 cells are emitted as-is (the reference's
     12-res-0-cells -> world-cell collapse is intentionally not performed —
     a cover equal to the whole globe is better expressed upstream)."""
-    from pyspark.sql import Window
-
-    from a5spark.functions.udfs import a5_cell_to_parent
+    from a5spark.functions.udfs import a5_compact_list
 
     g = list(group_cols)
-    cur = df.select(*g, F.col(cell).alias("__c")).distinct()
-    cur = cur.withColumn("__res", native.cell_resolution(F.col("__c")))
+    cur = df.select(*g, F.col(cell).alias("__c"))
+    res_col = native.cell_resolution(F.col("__c"))
     if resolution_bounds is not None:
         # caller-known range (e.g. a freshly uncompacted single-resolution
-        # cover) — skips the min/max probe job
-        r_lo, r_hi = int(resolution_bounds[0]), int(resolution_bounds[1])
+        # cover) — skips the max-res probe job
+        r_hi = int(resolution_bounds[1])
     else:
-        bounds = cur.agg(
-            F.min("__res").alias("lo"), F.max("__res").alias("hi")
-        ).first()
-        if bounds.hi is None:
+        hi = cur.agg(F.max(res_col).alias("hi")).first().hi
+        if hi is None:
             return df.select(*g, F.col(cell)).limit(0)
-        r_hi = int(bounds.hi)
-        r_lo = int(bounds.lo)
-    if r_hi < 1:
-        # nothing to collapse (res-0/world cells only); pass through deduped
-        return cur.drop("__res").withColumnRenamed("__c", cell)
+        r_hi = int(hi)
 
-    # Lazy descent — no per-level driver actions. Each level is one window
-    # shuffle keyed by parent; the survivors branch and the promoted branch
-    # share that shuffle via Spark's exchange reuse, so the chain costs one
-    # exchange per resolution level present in a single job.
-    pieces = []
-    level = cur.filter(F.col("__res") == r_hi).drop("__res")
-    for r in range(r_hi, 0, -1):
-        if r != r_hi and r >= r_lo:
-            # no per-level re-distinct: `cur` is globally deduped, promoted
-            # parents are rank-1-unique per parent key, and an input cell
-            # equal to a promoted parent would violate the documented
-            # ancestor precondition (the kernel relies on the same)
-            at_r = cur.filter(F.col("__res") == r).drop("__res")
-            level = level.unionByName(at_r)
-        size = 4 if r >= 2 else 5
-        if r >= 3:
-            parent = native.cell_to_parent(F.col("__c"), r - 1)
-        else:
-            parent = a5_cell_to_parent(F.col("__c"), F.lit(r - 1))
-        staged = level.withColumn("__p", parent)
-        w = Window.partitionBy(*g, "__p")
-        staged = staged.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
-            "__rk", F.row_number().over(w.orderBy("__c"))
+    anchor_span = 8  # bounds collect_list groups at 4^8 cells
+    while r_hi > 2:
+        a = max(2, r_hi - anchor_span)
+        fine = cur.filter(res_col > a)
+        passed = cur.filter(res_col <= a)
+        compacted = (
+            fine.withColumn("__anc", native.cell_to_parent(F.col("__c"), a))
+            .groupBy(*g, "__anc")
+            .agg(F.collect_list("__c").alias("__cells"))
+            .select(*g, F.explode(a5_compact_list(F.col("__cells"))).alias("__c"))
         )
-        pieces.append(
-            staged.filter(F.col("__n") < size).select(*g, "__c")
-        )
-        level = staged.filter(
-            (F.col("__n") == size) & (F.col("__rk") == 1)
-        ).select(*g, F.col("__p").alias("__c"))
-    pieces.append(level)  # whatever reached the coarsest level uncollapsed
-    pieces.append(cur.filter(F.col("__res") <= 0).drop("__res"))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.withColumnRenamed("__c", cell)
+        cur = compacted.unionByName(passed)
+        r_hi = a
+    # final pass: 2 -> 1 -> 0 collapses across anchors (tiny by construction:
+    # at most 240 res-2 cells exist globally per group); dedup happens inside
+    # the kernel (np.unique), so no separate distinct shuffle is needed
+    low = cur.filter(res_col <= 2)
+    high = cur.filter(res_col > 2)
+    fin = (
+        low.groupBy(*g)
+        .agg(F.collect_list("__c").alias("__cells"))
+        .select(*g, F.explode(a5_compact_list(F.col("__cells"))).alias("__c"))
+    )
+    return fin.unionByName(high).withColumnRenamed("__c", cell)
 
 
 def uncompact_cover(

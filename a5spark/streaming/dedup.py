@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator: exact content dedup with canonical
+mapping.
+
+Structured Streaming's built-in `dropDuplicates` can only DROP duplicate
+rows; a training-data pipeline wants the MAPPING — every incoming row tagged
+with the canonical (first-seen) row of its content digest, so duplicates can
+be counted, audited, or redirected instead of silently vanishing.
+
+applyInPandasWithState keyed by the content digest keeps (canonical_id,
+n_seen) per digest and emits one output row per INPUT row: the first arrival
+becomes the canonical, later arrivals emit as duplicates pointing at it.
+Replays of a micro-batch are deterministic (rows sort by id before the scan).
+
+State is O(#distinct digests) — the inherent price of EXACT streaming dedup
+(the batch job pays the same as a shuffle). Production deployments bound it
+with an event-time timeout (digest TTL) exactly like streaming/sessions.py;
+the documents table has no event time, so this operator keeps NoTimeout and
+documents the bound instead.
+"""
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("digest", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("canonical_id", LongType()),
+        StructField("is_dup", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("canonical_id", LongType()), StructField("n_seen", LongType())]
+)
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    digest = int(key[0])
+    rows = pd.concat(list(pdfs)).sort_values("doc_id")
+    ids = rows["doc_id"].astype("int64")
+    if state.exists:
+        canon, n = state.get
+    else:
+        canon, n = int(ids.iloc[0]), 0
+    n += len(ids)
+    state.update((int(canon), int(n)))
+    yield pd.DataFrame(
+        {
+            "digest": pd.Series([digest] * len(ids), dtype="int64"),
+            "doc_id": ids.to_numpy(),
+            "canonical_id": pd.Series([canon] * len(ids), dtype="int64"),
+            "is_dup": (ids.to_numpy() != canon).astype("int32"),
+        }
+    )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-dedup canonical mapping over a parquet document
+    stream: one state entry per distinct content digest; every row emits
+    tagged with its digest's canonical id."""
+    from a5spark.operators.dedup import content_digest
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        content_digest(F.col(text)).alias("digest"),
+    )
+    return keyed.groupBy("digest").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

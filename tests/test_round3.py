@@ -263,3 +263,54 @@ def test_pip_refine_chunked_large_layer(spark):
     assert got == exp
     assert len(got) == 40  # exactly the inside points survive
     assert all(p.startswith("in_") for _, p in got)
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact-dedup canonical mapping (applyInPandasWithState) must
+    assign every doc the batch rule's canonical: min doc_id per content
+    digest."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.dedup import content_digest
+    from a5spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the synthetic corpus has no exact dupes — inject copies of 20 docs
+    # under fresh ids so the canonical mapping is exercised
+    dupes = base.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs = base.unionByName(dupes)
+    docs.write.mode("overwrite").parquet(src)
+
+    stream_df = streaming_dedup(spark, src, docs.schema)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.digest, r.canonical_id, r.is_dup)
+        for r in spark.sql("SELECT * FROM stream_dedup").collect()
+    }
+
+    keyed = docs.select(
+        F.col("doc_id"), content_digest(F.col("text")).alias("digest")
+    )
+    canon = keyed.groupBy("digest").agg(F.min("doc_id").alias("canonical_id"))
+    batch = keyed.join(canon, "digest").select(
+        "doc_id", "digest", "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+    )
+    want = {
+        (r.doc_id, r.digest, r.canonical_id, r.is_dup) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()
+    assert any(r[3] == 1 for r in got)  # the corpus does contain duplicates
