@@ -1834,6 +1834,48 @@ def oracle_image_checksums():
     """
 
 
+def q_image_resize(spark, sf_dir):
+    """Decoded-pixel RESIZE value gate: nearest-neighbor downsample to 16x16
+    (operators/multimodal.resize_images) then integer checksums of the
+    resized bytes — DuckDB reproduces every value from the closed-form pixel
+    pattern composed with the same index map (oy*h//16, ox*w//16), proving
+    the decode -> resample -> re-encode path end-to-end."""
+    from a5spark.operators.multimodal import image_checksums, resize_images
+    from a5spark.sources.images import _gen_image_bytes
+
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
+        F.col("k") % 90 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    return image_checksums(resize_images(img, 16, 16)).orderBy("image_id")
+
+
+def oracle_image_resize():
+    return """
+    WITH img AS (
+      SELECT printf('img_%012d', o_orderkey) AS image_id,
+             CAST(32 + (o_orderkey % 8) * 8 AS BIGINT) AS w,
+             CAST(32 + (o_orderkey % 5) * 8 AS BIGINT) AS h,
+             o_orderkey % 251 + 1 AS a, o_orderkey % 65521 AS b
+      FROM orders WHERE o_orderkey % 90 = 0
+    ),
+    px AS (
+      SELECT image_id, c,
+             ((((oy * h) // 16) * w + ((ox * w) // 16)) * 3 + c) * a + b AS raw
+      FROM img,
+           unnest(generate_series(0, 15)) t1(oy),
+           unnest(generate_series(0, 15)) t2(ox),
+           unnest(generate_series(0, 2)) t3(c)
+    )
+    SELECT image_id, CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN c = 0 THEN raw % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(raw % 256) AS BIGINT) AS sum_all
+    FROM px GROUP BY image_id ORDER BY image_id
+    """
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster tile pyramid keyed by pentagon cell at res 4/5. The res-8
     assignment is snapshot to parquet; the oracle independently rolls up the
@@ -1905,6 +1947,7 @@ QUERIES = {
     "hot_region_vectorize": q_hot_region_vectorize,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
+    "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
     "tile_pyramid": q_tile_pyramid,
 }
@@ -1936,6 +1979,7 @@ ORACLES = {
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
     "image_stats": oracle_image_stats(),
+    "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),
     "line_trace": oracle_line_trace(),
     "pip_join": oracle_pip_join(),

@@ -34,8 +34,10 @@ AUDIT = [
     "hot_region_vectorize",
     "image_checksums",
     "image_stats",
+    "image_resize",
     "grid_disk",
     "skewed_density",
+    "crossmodal_neardup",
 ]
 
 
