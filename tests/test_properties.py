@@ -87,3 +87,68 @@ def test_signed_view_round_trip(lon, lat, res):
     hx = format(int(c[0]), "x")
     assert int(hx, 16) == int(c[0])
     assert get_resolution(c)[0] == res
+
+
+@settings(max_examples=40, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=2, max_value=15))
+def test_neighbor_symmetry(lon, lat, res):
+    """b in N(a) implies a in N(b) — the global neighbor relation (incl.
+    cross-quintant / cross-face edges) is symmetric."""
+    from a5spark.kernels.neighbors import cell_neighbors_batch
+
+    a = lonlat_to_cell(np.array([lon]), np.array([lat]), res)
+    _, nbrs = cell_neighbors_batch(a, edge_only=False)
+    for b in nbrs:
+        _, back = cell_neighbors_batch(np.array([b], dtype=np.uint64), edge_only=False)
+        assert int(a[0]) in {int(v) for v in back}, (hex(int(a[0])), hex(int(b)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=3, max_value=10))
+def test_grid_disk_monotone_and_ring1(lon, lat, res):
+    """disk(k) is a subset of disk(k+1); disk(1) == cell + edge neighbors."""
+    from a5spark.kernels.neighbors import cell_neighbors_batch
+    from a5spark.kernels.traversal import grid_disk_batch
+
+    c = lonlat_to_cell(np.array([lon]), np.array([lat]), res)
+    _, d1 = grid_disk_batch(c, 1, edge_only=True, do_compact=False)
+    _, d2 = grid_disk_batch(c, 2, edge_only=True, do_compact=False)
+    s1, s2 = {int(v) for v in d1}, {int(v) for v in d2}
+    assert s1 <= s2
+    _, nb = cell_neighbors_batch(c, edge_only=True)
+    assert s1 == {int(c[0])} | {int(v) for v in nb}
+
+
+@settings(max_examples=20, deadline=None)
+@given(lon=lon_st, lat=lat_st, res=st.integers(min_value=4, max_value=9))
+def test_cap_cover_monotone_in_radius(lon, lat, res):
+    """Uncompacted cap covers grow monotonically with radius and always
+    contain the origin cell."""
+    from a5spark.kernels.compact import uncompact as kuncompact
+    from a5spark.kernels.traversal import spherical_cap_batch
+
+    c = lonlat_to_cell(np.array([lon]), np.array([lat]), res)
+
+    def flat(radius):
+        _, cap = spherical_cap_batch(c, radius)
+        return {int(v) for v in kuncompact(cap, res)}
+
+    small, big = flat(50_000.0), flat(200_000.0)
+    assert int(c[0]) in small
+    assert small <= big
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    s=st.integers(min_value=0, max_value=(1 << 24) - 1),
+    res=st.integers(min_value=1, max_value=12),
+    orient=st.sampled_from(["uv", "vu", "uw", "wu", "vw", "wv"]),
+)
+def test_lsystem_bijection(s, res, orient):
+    """The L-system curve is a bijection: triple_to_s(s_to_triple(s)) == s
+    for every s in [0, 4^res), any orientation."""
+    from a5spark.kernels.lsystem import s_to_triple, triple_to_s_lattice
+
+    s = s % (1 << (2 * res))
+    t = s_to_triple(s, res, orient)
+    assert triple_to_s_lattice(*t, res, orient) == s
