@@ -1401,11 +1401,11 @@ def oracle_pip_join():
     """
 
 
-_GRIDDISK_SNAPSHOT = "/tmp/a5spark_oracle/grid_disk_r6"
+_GRIDDISK_SNAPSHOT = "/tmp/a5spark_oracle/grid_disk_r5"
 
 
 def q_grid_disk(spark, sf_dir):
-    """k-ring (grid_disk, k=2) density expansion over the res-6 cell raster:
+    """k-ring (grid_disk, k=2) density expansion over the res-5 cell raster:
     per-cell counts, then the count-sum over each cell's distance-<=2 disk —
     the windowed spatial aggregation pattern (reference
     a5/traversal/grid_disk.py:10-70 made distributed). The density and the
@@ -1415,7 +1415,7 @@ def q_grid_disk(spark, sf_dir):
     from a5spark.operators.knn import a5_grid_disk
     from a5spark.operators.spatial import assign_cells, cell_density
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 6)
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
     dens = cell_density(img)
     dens.write.mode("overwrite").parquet(f"{_GRIDDISK_SNAPSHOT}/density")
     dens = spark.read.parquet(f"{_GRIDDISK_SNAPSHOT}/density")
