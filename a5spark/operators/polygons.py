@@ -166,21 +166,18 @@ def pip_refine(
     The driver-side rings collect is BOUNDED: layers beyond `chunk_polygons`
     are processed in deterministic hash chunks (one filtered collect +
     broadcast per chunk, candidates routed by the same hash, results
-    unioned) — a 10^6-polygon layer degrades to more passes instead of a
+    unioned; chunks call the collect worker directly, no per-chunk
+    re-count) — a 10^6-polygon layer degrades to more passes instead of a
     driver OOM."""
-    schema = df.schema
-    spark = df.sparkSession
-
     n_poly = polygons.count()
     if n_poly > chunk_polygons:
         n_chunks = -(-n_poly // chunk_polygons)
         chunk_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
         parts = [
-            pip_refine(
+            _pip_refine_collected(
                 df.filter(chunk_of == c),
                 polygons.filter(chunk_of == c),
                 lon, lat, id_col, rings_col,
-                chunk_polygons=2**63 - 1,  # chunks collect directly
             )
             for c in range(n_chunks)
         ]
@@ -188,6 +185,21 @@ def pip_refine(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+    return _pip_refine_collected(df, polygons, lon, lat, id_col, rings_col)
+
+
+def _pip_refine_collected(
+    df: DataFrame,
+    polygons: DataFrame,
+    lon: str,
+    lat: str,
+    id_col: str,
+    rings_col: str,
+) -> DataFrame:
+    """Single-collect refine worker: broadcasts the (bounded) polygon layer.
+    Callers bound |polygons| (see pip_refine)."""
+    schema = df.schema
+    spark = df.sparkSession
     rings_by_id = {
         r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
     }

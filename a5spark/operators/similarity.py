@@ -70,20 +70,14 @@ def _matmul_candidates(
         # single-level split (no recursion: pmod(hash, n) is correlated
         # across levels, a re-split of one chunk would never separate it);
         # hash variance can push a chunk slightly over the bound, which is
-        # fine — the bound is a driver-memory envelope, not an exact quota
+        # fine — the bound is a driver-memory envelope, not an exact quota.
+        # Chunks call the broadcast worker directly (no per-chunk re-count).
         n_chunks = -(-n_q // max_broadcast_queries)
         chunk = F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_chunks))
         parts = [
-            _matmul_candidates(
-                queries.filter(chunk == c),
-                points,
-                k,
-                query_id,
-                point_id,
-                vec,
-                quantized,
-                scale,
-                max_broadcast_queries=2**63 - 1,  # chunks broadcast directly
+            _matmul_broadcast(
+                queries.filter(chunk == c), points, k, query_id, point_id,
+                vec, quantized, scale,
             )
             for c in range(n_chunks)
         ]
@@ -91,7 +85,24 @@ def _matmul_candidates(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+    return _matmul_broadcast(
+        queries, points, k, query_id, point_id, vec, quantized, scale
+    )
 
+
+def _matmul_broadcast(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    query_id: str,
+    point_id: str,
+    vec: str,
+    quantized: bool,
+    scale: int,
+) -> DataFrame:
+    """Single-broadcast scorer: collects the (bounded) query frame, scores
+    every point batch against it. Callers bound |queries| (see
+    _matmul_candidates)."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -402,7 +413,8 @@ def cosine_neardup_pairs(
     the band/table tuning).
 
     bucket_cap bounds the self-join: primary buckets wider than the cap are
-    split by `extra_bits` secondary hyperplanes (_refine_wide_buckets), so
+    split by `extra_bits` secondary hyperplanes (_wide_buckets +
+    _extend_assign), so
     per-bucket join volume stays <= max(cap, cluster)^2 instead of the
     near-quadratic blowup a few hot primary buckets would otherwise cause at
     corpus scale. Pass bucket_cap=None to disable (exact historic

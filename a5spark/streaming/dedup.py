@@ -76,9 +76,13 @@ def streaming_dedup(
     from a5spark.operators.dedup import content_digest
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    # NULL text -> NULL digest would form a null group key and
+    # int(key[0]) would fail the whole micro-batch; route nulls to a
+    # sentinel digest instead (matching the batch groupBy, which silently
+    # groups all null digests together)
     keyed = stream.select(
         F.col(id_col).alias("doc_id"),
-        content_digest(F.col(text)).alias("digest"),
+        F.coalesce(content_digest(F.col(text)), F.lit(-1)).alias("digest"),
     )
     return keyed.groupBy("digest").applyInPandasWithState(
         _dedup_fn,
