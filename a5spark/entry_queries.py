@@ -867,6 +867,92 @@ def oracle_text_profile():
     """
 
 
+def q_doc_quality(spark, sf_dir):
+    """Per-document quality scoring (the training-data filter stage): length
+    / punctuation / stopword / shouting components and the combined [0, 1]
+    heuristic of operators/text.quality_score, recast in PURE INTEGER
+    micro-units — the rational terms share the common denominator
+    D = 500 * len * n_tok so every output is an exact int64 (float rounding
+    of the double form ties at the 6th decimal between engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("long")
+    len1 = F.greatest(n_chars, F.lit(1))
+    n_tok1 = F.greatest(
+        F.when(
+            F.length(F.trim(t)) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(t), r"\s+"))).cast("long"),
+        F.lit(1),
+    )
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.,;:!?]"), 0)).cast("long")
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0)).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_stop = None
+    for w in ["the", "and", "of", "to", "is"]:
+        c = F.size(F.regexp_extract_all(padded, F.lit(w), 0)).cast("long")
+        n_stop = c if n_stop is None else n_stop + c
+    d = F.lit(500) * len1 * n_tok1
+    terms = docs.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars"),
+        len1.alias("len1"),
+        n_tok1.alias("n_tok1"),
+        n_punct.alias("n_punct"),
+        n_upper.alias("n_upper"),
+        n_stop.alias("n_stop"),
+        d.alias("d"),
+        F.least(n_chars * len1 * n_tok1, d).alias("lt"),
+        F.least(F.lit(10_000) * n_punct * n_tok1, d).alias("pt"),
+        F.least(F.lit(2_500) * n_stop * len1, d).alias("st"),
+        F.greatest(
+            F.lit(0).cast("long"), d - F.lit(2_000) * n_upper * n_tok1
+        ).alias("sh"),
+    )
+    # `div` = integral division, bit-identical to DuckDB's `//` on positives
+    return terms.selectExpr(
+        "doc_id",
+        "n_chars",
+        "(1000000 * n_punct) div len1 AS punct_micro",
+        "(1000000 * n_upper) div len1 AS upper_micro",
+        "(1000000 * n_stop) div n_tok1 AS stop_micro",
+        "(1000000 * (lt + pt + st + sh)) div (4 * d) AS quality_micro",
+    ).orderBy("doc_id")
+
+
+def oracle_doc_quality():
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(' ' || lower(text) || ' ', '{w}'))"
+        for w in ["the", "and", "of", "to", "is"]
+    )
+    return r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(greatest(length(text), 1) AS BIGINT) AS len1,
+             CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS n_tok1,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+             CAST(""" + stop_hits + r""" AS BIGINT) AS n_stop
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, n_chars, len1, n_tok1, n_punct, n_upper, n_stop,
+             500 * len1 * n_tok1 AS d,
+             least(n_chars * len1 * n_tok1, 500 * len1 * n_tok1) AS lt,
+             least(10000 * n_punct * n_tok1, 500 * len1 * n_tok1) AS pt,
+             least(2500 * n_stop * len1, 500 * len1 * n_tok1) AS st,
+             greatest(0, 500 * len1 * n_tok1 - 2000 * n_upper * n_tok1) AS sh
+      FROM base
+    )
+    SELECT doc_id, n_chars,
+           (1000000 * n_punct) // len1 AS punct_micro,
+           (1000000 * n_upper) // len1 AS upper_micro,
+           (1000000 * n_stop) // n_tok1 AS stop_micro,
+           (1000000 * (lt + pt + st + sh)) // (4 * d) AS quality_micro
+    FROM terms ORDER BY doc_id
+    """
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-based language guess histogram."""
     from a5spark.operators.text import lang_id
@@ -1932,6 +2018,7 @@ QUERIES = {
     "crossmodal_neardup": q_crossmodal_neardup,
     "embed_neardup": q_embed_neardup,
     "text_profile": q_text_profile,
+    "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "ann_quantized": q_ann_quantized,
     "ann_cosine": q_ann_cosine,
@@ -1970,6 +2057,7 @@ ORACLES = {
     "crossmodal_neardup": oracle_crossmodal_neardup(),
     "embed_neardup": oracle_embed_neardup(),
     "text_profile": oracle_text_profile(),
+    "doc_quality": oracle_doc_quality(),
     "lang_id": oracle_lang_id(),
     "ann_quantized": oracle_ann_quantized(),
     "ann_lsh": oracle_ann_lsh(),
