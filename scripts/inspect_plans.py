@@ -38,6 +38,7 @@ AUDIT = [
     "grid_disk",
     "skewed_density",
     "crossmodal_neardup",
+    "doc_quality",
 ]
 
 
