@@ -38,6 +38,7 @@ def run_queries(spark, sf_dir):
     from a5spark.entry_queries import QUERIES
 
     retry_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "3"))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "150"))
     times = {}
     rowcounts = {}
     for name, fn in QUERIES.items():
@@ -46,11 +47,27 @@ def run_queries(spark, sf_dir):
         n = df.count()
         best = time.time() - t0
         cache.release_persisted()
-        if best > retry_threshold:
+        # best-of-N against host CPU-steal bursts (single samples swing up
+        # to ~5x): one retry over the threshold, a second when the best is
+        # still 3x over it — all retries share one global time budget so the
+        # bench's worst-case wall time stays bounded
+        retries = 0
+        while (
+            best > retry_threshold
+            and retries < 2
+            # first retry is unconditional (the round-2 behavior); only the
+            # SECOND draws from the shared budget, so early steal bursts
+            # can't starve later queries of their one retry
+            and (retries == 0 or (retry_budget > 0 and best > 3 * retry_threshold))
+        ):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if retries > 0:
+                retry_budget -= dt
+            best = min(best, dt)
             cache.release_persisted()
+            retries += 1
         times[name] = round(best, 3)
         rowcounts[name] = n
     return times, rowcounts
