@@ -41,12 +41,11 @@ def h3_lonlat_to_cell(lon: pd.Series, lat: pd.Series, resolution: pd.Series) -> 
             "H3 encoding requires the `h3` library, which is not installed "
             "in this environment"
         )
-    out = [
-        int(_h3.latlng_to_cell(la, lo, int(r)), 16)
-        if isinstance(_h3.latlng_to_cell(la, lo, int(r)), str)
-        else _h3.latlng_to_cell(la, lo, int(r))
-        for lo, la, r in zip(lon, lat, resolution)
-    ]
+    def _one(la, lo, r):
+        v = _h3.latlng_to_cell(la, lo, int(r))  # str (h3>=4) or int (h3<4)
+        return int(v, 16) if isinstance(v, str) else v
+
+    out = [_one(la, lo, r) for lo, la, r in zip(lon, lat, resolution)]
     return pd.Series(np.array(out, dtype=np.uint64).view(np.int64))
 
 

@@ -71,29 +71,6 @@ def _pair_unique(rows, cells):
     return rows[keep], cells[keep]
 
 
-def _pair_isin(rows, cells, set_rows, set_cells):
-    """Membership of (rows, cells) pairs in the SORTED pair set."""
-    if set_rows.size == 0:
-        return np.zeros(rows.shape[0], dtype=bool)
-    idx = np.searchsorted(set_rows, rows)
-    # rows with equal row key: need cell match within the row's span; do a
-    # combined-key search instead: key = row * 2^64 + cell via float128-free
-    # approach — use structured sort on (row, cell) with searchsorted over
-    # tuple keys encoded as two parallel arrays.
-    # Simpler: encode as Python-free two-pass searchsorted on row boundaries.
-    lo = np.searchsorted(set_rows, rows, side="left")
-    hi = np.searchsorted(set_rows, rows, side="right")
-    out = np.zeros(rows.shape[0], dtype=bool)
-    # per-row-span binary search of cell
-    for i in range(rows.shape[0]):
-        a, b = lo[i], hi[i]
-        if a == b:
-            continue
-        j = np.searchsorted(set_cells[a:b], cells[i])
-        out[i] = j < (b - a) and set_cells[a + j] == cells[i]
-    return out
-
-
 def _pair_isin_fast(rows, cells, set_rows, set_cells):
     """Vectorized membership via 128-bit composite keys (two uint64 columns
     compared lexicographically using structured arrays)."""

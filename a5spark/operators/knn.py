@@ -268,14 +268,25 @@ def knn_join(
             "dist_m",
             haversine_m(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon")),
         )
-        if not final:
-            cand = cand.filter(F.col("dist_m") <= rr)
         wq = Window.partitionBy(query_id)
         rank_key = (
             F.round(F.col("dist_m"), tie_quantum_decimals)
             if tie_quantum_decimals is not None
             else F.col("dist_m")
         )
+        if not final:
+            # admit by the SAME key the window ranks on: with quantized
+            # ranking, a rounding-tie group straddling the raw radius rr
+            # must be admitted whole, or an early-emitted query's top-k
+            # could differ from the global quantized order (round() is
+            # monotone, so nothing within rr is ever excluded, and the
+            # cap cover's margin >> 1 quantum keeps the admit set complete)
+            if tie_quantum_decimals is not None:
+                cand = cand.filter(
+                    rank_key <= F.round(F.lit(rr), tie_quantum_decimals)
+                )
+            else:
+                cand = cand.filter(F.col("dist_m") <= rr)
         wr = wq.orderBy(F.asc(rank_key), F.asc(point_id))
         scored = (
             cand.withColumn("rank", F.row_number().over(wr))

@@ -111,23 +111,25 @@ def _matmul_broadcast(
         StructType,
     )
 
-    qpdf = queries.select(query_id, vec).toPandas()
-    q_ids = qpdf[query_id].to_numpy()
-    q_mat = np.stack(qpdf[vec].to_numpy()).astype(np.float64)
-    if quantized:
-        q_mat = np.round(q_mat * scale).astype(np.int64)
-    else:
-        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
-
-    schema = StructType(
+    schema_out = StructType(
         [
             StructField(query_id, LongType()),
             StructField(point_id, LongType()),
             StructField("score", DoubleType() if not quantized else LongType()),
         ]
     )
+    qpdf = queries.select(query_id, vec).toPandas()
+    if len(qpdf) == 0:  # np.stack raises on an empty frame
+        return queries.sparkSession.createDataFrame([], schema_out)
+    q_ids = qpdf[query_id].to_numpy()
+    q_mat = np.stack(qpdf[vec].to_numpy()).astype(np.float64)
+    if quantized:
+        q_mat = np.round(q_mat * scale).astype(np.int64)
+    else:
+        norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_mat = q_mat / np.where(norms > 0, norms, 1.0)  # zero-norm -> no NaN
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def score(batches):
         ids, mat = bc.value
@@ -152,7 +154,7 @@ def _matmul_broadcast(
                     out_s.extend(scores[qi, sel])
             yield pd.DataFrame({query_id: out_q, point_id: out_p, "score": out_s})
 
-    return points.select(point_id, vec).mapInPandas(score, schema)
+    return points.select(point_id, vec).mapInPandas(score, schema_out)
 
 
 def brute_force_topk(

@@ -177,8 +177,19 @@ def compact_cover(
         a = max(2, r_hi - anchor_span)
         fine = cur.filter(res_col > a)
         passed = cur.filter(res_col <= a)
+        if r_hi >= 29:
+            # res-29/30 inputs: native cell_to_parent can't read the res-30
+            # variable-marker layout (and native resolution reads mk-1
+            # res-30 cells as 29 — which still clears the `> a` filter, so
+            # only the ANCHOR expression needs the full-regime kernel UDF;
+            # the kernel compact inside each group handles 29/30 exactly)
+            from a5spark.functions.udfs import a5_cell_to_parent
+
+            anchor = a5_cell_to_parent(F.col("__c"), F.lit(a))
+        else:
+            anchor = native.cell_to_parent(F.col("__c"), a)
         compacted = (
-            fine.withColumn("__anc", native.cell_to_parent(F.col("__c"), a))
+            fine.withColumn("__anc", anchor)
             .groupBy(*g, "__anc")
             .agg(F.collect_list("__c").alias("__cells"))
             .select(*g, F.explode(a5_compact_list(F.col("__cells"))).alias("__c"))
@@ -202,12 +213,23 @@ def uncompact_cover(
     cover: DataFrame, target_resolution: int, cell: str = "cell", group_cols=()
 ) -> DataFrame:
     """Expand a (possibly mixed-resolution) cover to a single fine resolution.
-    Hilbert-regime cells (res >= 2) expand via the native children sequence
+    Hilbert-regime cells (res 2..29) expand via the native children sequence
     (JVM explode); res-0/1 cells — whose marker layout and aperture differ —
-    route through the full-regime kernel UDF."""
+    route through the full-regime kernel UDF. A res-30 TARGET also routes
+    every cell through the kernel: res 30's variable-width marker layout is
+    outside the native bit expressions' regime (shiftleft(1, 59 - 2*30)
+    would wrap), and native cell_resolution misreads mk-1 res-30 cells as
+    res 29."""
     from a5spark.functions.udfs import a5_uncompact
 
     g = list(group_cols)
+    if target_resolution >= 30:
+        return cover.select(
+            *g,
+            F.explode(
+                a5_uncompact(F.col(cell), F.lit(target_resolution))
+            ).alias(cell),
+        )
     res = native.cell_resolution(F.col(cell))
     staged = cover.withColumn("__r", res)
     hilbert = staged.filter(F.col("__r") >= 2).select(

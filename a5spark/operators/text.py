@@ -44,6 +44,11 @@ def upper_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
+    # NOTE: deliberately counts the BARE marker substrings (w.strip()), so
+    # 'the' inside 'weather' also counts — a cheap density proxy, NOT the
+    # whole-word matching lang_id does with the padded ' the ' forms. The
+    # doc_quality oracle bakes this exact substring semantics; changing it
+    # to whole-word matching requires updating that oracle in lockstep.
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     hits = None
     for words in (LANG_MARKERS["en"],):

@@ -130,9 +130,16 @@ def _make_tile_assembler(px: int):
 
 
 def hit_grid(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, px: int) -> np.ndarray:
-    """Integer hit counts of points binned over the cell's bbox (additive)."""
+    """Integer hit counts of points binned over the cell's bbox (additive).
+
+    Boundary rings come UNWRAPPED from cell_to_boundary (an antimeridian-
+    straddling cell can span e.g. [176.7, 181.1]), while point longitudes are
+    normalized to [-180, 180) — shift each point into the ring's frame first,
+    or every western-hemisphere point of a straddling cell collapses into
+    pixel column 0."""
     lon_min, lat_min = ring.min(axis=0)
     lon_max, lat_max = ring.max(axis=0)
+    lon = lon + 360.0 * (lon_min - lon > 180.0) - 360.0 * (lon - lon_max > 180.0)
     dx = (lon_max - lon_min) or 1.0
     dy = (lat_max - lat_min) or 1.0
     xi = np.clip(((lon - lon_min) / dx * px).astype(np.int64), 0, px - 1)
@@ -156,7 +163,14 @@ def render_tile(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, px: int) -> 
 
 def _pixel_index(lon, lat, px: int):
     """Catalyst twin of hit_grid's binning: truncate-toward-zero cast + clip,
-    identical IEEE op order to the numpy renderer ((v - min) / d * px)."""
+    identical IEEE op order to the numpy renderer ((v - min) / d * px),
+    including the antimeridian unwrap of the point longitude into the ring
+    frame (same +-360.0 adds, same 180 threshold)."""
+    lon = (
+        lon
+        + F.when(F.col("lon_min") - lon > 180.0, F.lit(360.0)).otherwise(F.lit(0.0))
+        - F.when(lon - F.col("lon_max") > 180.0, F.lit(360.0)).otherwise(F.lit(0.0))
+    )
     dx = F.when(F.col("lon_max") == F.col("lon_min"), F.lit(1.0)).otherwise(
         F.col("lon_max") - F.col("lon_min")
     )

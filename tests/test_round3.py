@@ -314,3 +314,66 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == docs.count()
     assert any(r[3] == 1 for r in got)  # the corpus does contain duplicates
+
+
+def test_uncompact_compact_res30_cover(spark):
+    """Res-30 covers through the DISTRIBUTED ops: uncompact to 30 matches the
+    kernel expansion, and compact folds it back to the original cover (the
+    native bit expressions can't read res 30's variable-marker layout — this
+    pins the kernel-UDF routing)."""
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.compact import uncompact as kuncompact
+    from a5spark.kernels.serialization import to_signed
+    from a5spark.operators.spatial import compact_cover, uncompact_cover
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 6)
+    lat = rng.uniform(-60, 60, 6)
+    cells = np.unique(lonlat_to_cell(lon, lat, 28))
+    df = spark.createDataFrame([(int(c),) for c in to_signed(cells)], ["cell"])
+
+    fine = uncompact_cover(df, 30)
+    got_fine = sorted(r["cell"] for r in fine.collect())
+    exp_fine = sorted(int(v) for v in to_signed(kuncompact(cells, 30)))
+    assert got_fine == exp_fine
+
+    back = compact_cover(fine, resolution_bounds=(30, 30))
+    got = sorted(r["cell"] for r in back.collect())
+    assert got == sorted(int(c) for c in to_signed(cells))
+
+
+def test_tile_binning_antimeridian(spark):
+    """Antimeridian-straddling cells: points west of the antimeridian must
+    bin into their true pixel columns (pre-fix they collapsed into column 0),
+    and the Catalyst twin must stay bit-identical to the numpy renderer."""
+    from pyspark.sql import functions as F
+
+    from a5spark.kernels.cell import cell_to_boundary, lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+    from a5spark.operators.spatial import assign_cells
+    from a5spark.operators.tiles import hit_grid, render_tile, tile_pyramid
+
+    cell = lonlat_to_cell(np.array([179.99]), np.array([10.0]), 4)
+    ring = cell_to_boundary(cell)[0]
+    assert ring[:, 0].max() > 180.0 or ring[:, 0].min() < -180.0  # straddles
+
+    lon = np.array([179.95, -179.95])
+    lat = np.array([10.0, 10.0])
+    # both points belong to this cell
+    enc = lonlat_to_cell(lon, lat, 4)
+    assert (enc == cell[0]).all()
+    g = hit_grid(lon, lat, ring, 16)
+    ys, xs = np.nonzero(g)
+    assert g.sum() == 2
+    assert abs(int(xs.max()) - int(xs.min())) <= 2, (xs, ys)
+
+    pdf = spark.createDataFrame(
+        [(float(l), float(la)) for l, la in zip(lon, lat)], ["lon", "lat"]
+    )
+    img = assign_cells(pdf, 6)
+    tiles = tile_pyramid(img, [4], tile_px=16)
+    row = [r for r in tiles.collect() if r["cell"] == int(to_signed(cell)[0])]
+    assert row
+    grid = np.frombuffer(row[0]["tile"], dtype=np.uint8).reshape(16, 16)
+    exp = render_tile(lon, lat, ring, 16)
+    assert (grid == exp).all()
