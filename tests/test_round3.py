@@ -377,3 +377,20 @@ def test_tile_binning_antimeridian(spark):
     grid = np.frombuffer(row[0]["tile"], dtype=np.uint8).reshape(16, 16)
     exp = render_tile(lon, lat, ring, 16)
     assert (grid == exp).all()
+
+
+def test_ann_empty_query_fleet(spark):
+    """An empty query fleet returns an empty result instead of crashing the
+    driver-side np.stack."""
+    from a5spark.operators.similarity import brute_force_topk, quantized_topk
+
+    vecs = _hot_cluster_vectors(n_hot=10, n_rand=10)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(vecs.shape[0])],
+        ["vec_id", "embedding"],
+    )
+    empty_q = df.filter(df.vec_id < 0).select(
+        df.vec_id.alias("q_id"), "embedding"
+    )
+    assert quantized_topk(empty_q, df, k=3).count() == 0
+    assert brute_force_topk(empty_q, df, k=3).count() == 0
