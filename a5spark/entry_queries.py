@@ -11,6 +11,8 @@ formulas evaluate identically in Spark and DuckDB without overflow, and all
 cell values stay positive.
 """
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,33 @@ from a5spark.sources.images import images_from_sf_dir
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _snapshot(df: DataFrame, path: str, reuse: bool = False) -> DataFrame:
+    """Materialize an oracle snapshot: write `df` to parquet and return the
+    parquet-backed frame (the DuckDB oracle reads the same files — that is
+    what makes these queries value-checkable end-to-end).
+
+    With SPARK_GRAFT_SKIP_SNAPSHOT set (engine-only benchmarking: the
+    snapshot write+read exists purely for the oracle, not for the answer)
+    the round-trip is skipped and `df` is returned as-is; `reuse=True` marks
+    frames referenced more than once downstream — those persist into the
+    current cache scope in BOTH modes so the upstream computation still runs
+    exactly once."""
+    from a5spark import cache
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SNAPSHOT"):
+        return cache.persist(df) if reuse else df
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    return cache.persist(out) if reuse else out
+
+
+def _oracle_export(df: DataFrame, path: str) -> None:
+    """Write a snapshot consumed ONLY by the oracle (never read back by the
+    query itself) — skipped entirely in engine-only benchmark mode."""
+    if not os.environ.get("SPARK_GRAFT_SKIP_SNAPSHOT"):
+        df.write.mode("overwrite").parquet(path)
 
 
 # --- synthetic-cell construction shared by the hierarchy queries ------------
@@ -283,20 +312,39 @@ def oracle_images_derivation():
     """
 
 
+_FLAGSHIP_SNAPSHOT = "/tmp/a5spark_oracle/flagship_assign_r7"
+
+
 def q_cell_density_r7(spark, sf_dir):
-    """Flagship spatial aggregation (no SQL oracle — the A5 encode is not
-    SQL-expressible; correctness is pinned by the kernel fixture tests):
-    encode image centroids at res 7, per-cell density, top 50 hot cells."""
+    """Flagship spatial aggregation: encode image centroids at res 7 (Arrow
+    kernel UDF — fixture-pinned, not SQL-expressible), per-cell density with
+    EXACT distinct-phash and integer milli-mean width, top 50 hot cells with
+    a deterministic (n DESC, cell) tie-break. The (cell, phash, w)
+    assignment is snapshot to parquet so DuckDB reproduces the density +
+    top-k independently — the oracle chain is fixture(encode) ∘
+    oracle(aggregation). Scale note: exact count(distinct) is a standard
+    two-phase expand aggregation keyed by (cell, phash) — shuffle volume is
+    #distinct pairs, the honest form at 100 TB (approx_count_distinct's HLL
+    sketch is not cross-engine comparable)."""
     img = images_from_sf_dir(spark, sf_dir)
     df = spatial.assign_cells(img, 7)
-    dens = spatial.cell_density(
-        df,
-        extra_aggs=[
-            F.approx_count_distinct("phash").alias("n_uniq_phash"),
-            F.avg("w").alias("avg_w"),
-        ],
+    snap = _snapshot(df.select("cell", "phash", "w"), _FLAGSHIP_SNAPSHOT)
+    dens = snap.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.countDistinct("phash").alias("n_uniq_phash"),
+        F.expr("(1000 * sum(w)) div count(1)").alias("avg_w_milli"),
     )
-    return spatial.top_k_cells(dens.withColumnRenamed("n", "n_images"), 50, "n_images")
+    return dens.orderBy(F.desc("n_images"), F.asc("cell")).limit(50)
+
+
+def oracle_cell_density_r7():
+    return f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(DISTINCT phash) AS BIGINT) AS n_uniq_phash,
+           CAST((1000 * sum(w)) // count(*) AS BIGINT) AS avg_w_milli
+    FROM read_parquet('{_FLAGSHIP_SNAPSHOT}/*.parquet')
+    GROUP BY cell ORDER BY n_images DESC, cell LIMIT 50
+    """
 
 
 _MULTIRES_SNAPSHOT = "/tmp/a5spark_oracle/multires_r9"
@@ -309,10 +357,9 @@ def q_multires_rollup(spark, sf_dir):
     JVM-side via one explode (single pass, map-side combined), count per
     (resolution, cell)."""
     img = images_from_sf_dir(spark, sf_dir)
-    spatial.assign_cells(img, 9).select("image_id", "cell").write.mode(
-        "overwrite"
-    ).parquet(_MULTIRES_SNAPSHOT)
-    enc = spark.read.parquet(_MULTIRES_SNAPSHOT)
+    enc = _snapshot(
+        spatial.assign_cells(img, 9).select("image_id", "cell"), _MULTIRES_SNAPSHOT
+    )
     levels = F.array(
         *[
             F.struct(
@@ -1142,18 +1189,62 @@ def oracle_ann_quantized():
 
 
 def q_ann_cosine(spark, sf_dir):
-    """Float cosine brute-force top-5 (no oracle: float summation order is
-    engine-specific; the quantized variant is the value-checked one)."""
+    """Float cosine brute-force top-5, oracle-ranked on the MICRO-COSINE:
+    candidates come from the float scorer with a 3-slot buffer (top-8 per
+    query, so micro-vs-float rank inversions inside one 1e-6 bucket cannot
+    drop a true top-5 row), then the final rank is row_number over
+    (round(cos * 1e6) DESC, vec_id ASC) — a deterministic integer ordering
+    both engines compute identically. ROUND, not floor: exact-duplicate
+    pairs score cos = 1.0 ± 1e-14 — precisely a truncation grid line, which
+    floor splits across engines — while round's half-micro boundaries carry
+    no degenerate values (cross-engine float noise ~1e-14 only flips round
+    within 1e-14 of an x.5e-6 point; both engines round doubles HALF_UP)."""
+    from pyspark.sql import Window
+
     from a5spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
-    out = brute_force_topk(queries, emb, k=5)
-    return out.select(
-        "q_id", "rank", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
-    ).orderBy("q_id", "rank")
+    cand = brute_force_topk(queries, emb, k=8).withColumn(
+        "cos_micro", F.round(F.col("cos_sim") * 1e6).cast("long")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", "cos_micro")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_micro")
+        .orderBy("q_id", "rank")
+    )
+
+
+def oracle_ann_cosine():
+    return """
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), p AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+      FROM embeddings
+    ), scored AS (
+      SELECT q_id, vec_id,
+             CAST(round(1e6 * list_dot_product(qv, pv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(pv, pv)))) AS BIGINT) AS cos_micro
+      FROM q, p
+    ), ranked AS (
+      SELECT q_id, vec_id, cos_micro,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_micro DESC, vec_id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_micro
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """
 
 
 # Banded-LSH tuning for the synthetic embeddings: top-3 neighbor cosine is
@@ -1455,14 +1546,14 @@ def q_pip_join(spark, sf_dir):
     cover = polyfill_cover(pdf, resolution=6)
     img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 9))
     joined = point_in_polygon_join(img, cover, point_cell="cell", expand_to=9)
-    joined.select("polygon_id", "image_id").distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{_PIP_SNAPSHOT}/candidates")
-    refined = pip_refine(joined, pdf)
-    refined.select("polygon_id", "image_id").write.mode("overwrite").parquet(
-        f"{_PIP_SNAPSHOT}/refined"
+    _oracle_export(
+        joined.select("polygon_id", "image_id").distinct(),
+        f"{_PIP_SNAPSHOT}/candidates",
     )
-    refined = spark.read.parquet(f"{_PIP_SNAPSHOT}/refined")
+    refined = _snapshot(
+        pip_refine(joined, pdf).select("polygon_id", "image_id"),
+        f"{_PIP_SNAPSHOT}/refined",
+    )
     return refined.groupBy("polygon_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("image_id").alias("min_image"),
@@ -1502,14 +1593,15 @@ def q_grid_disk(spark, sf_dir):
     from a5spark.operators.spatial import assign_cells, cell_density
 
     img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
-    dens = cell_density(img)
-    dens.write.mode("overwrite").parquet(f"{_GRIDDISK_SNAPSHOT}/density")
-    dens = spark.read.parquet(f"{_GRIDDISK_SNAPSHOT}/density")
-    disk = dens.select(
-        "cell", F.explode(a5_grid_disk(F.col("cell"), F.lit(2))).alias("dcell")
+    dens = _snapshot(
+        cell_density(img), f"{_GRIDDISK_SNAPSHOT}/density", reuse=True
     )
-    disk.write.mode("overwrite").parquet(f"{_GRIDDISK_SNAPSHOT}/disk")
-    disk = spark.read.parquet(f"{_GRIDDISK_SNAPSHOT}/disk")
+    disk = _snapshot(
+        dens.select(
+            "cell", F.explode(a5_grid_disk(F.col("cell"), F.lit(2))).alias("dcell")
+        ),
+        f"{_GRIDDISK_SNAPSHOT}/disk",
+    )
     nb = dens.select(F.col("cell").alias("dcell"), F.col("n").alias("d_n"))
     ring = (
         disk.join(nb, "dcell", "left")
@@ -1565,8 +1657,7 @@ def q_skewed_density(spark, sf_dir):
         .otherwise(F.col("cell"))
         .alias("cell"),
     )
-    skewed.write.mode("overwrite").parquet(_SKEW_SNAPSHOT)
-    skewed = spark.read.parquet(_SKEW_SNAPSHOT)
+    skewed = _snapshot(skewed, _SKEW_SNAPSHOT)
     dens = salted_density(skewed, cell="cell", buckets=64, row_key="k")
     return (
         dens.filter(F.col("n") >= 5)
@@ -1598,14 +1689,15 @@ def q_focal_smoothing(spark, sf_dir):
     from a5spark.operators.spatial import assign_cells, cell_density
 
     img = assign_cells(images_from_sf_dir(spark, sf_dir), 6)
-    dens = cell_density(img)
-    dens.write.mode("overwrite").parquet(f"{_FOCAL_SNAPSHOT}/density")
-    dens = spark.read.parquet(f"{_FOCAL_SNAPSHOT}/density")
-    adj = dens.select(
-        "cell", F.explode(a5_cell_neighbors(F.col("cell"))).alias("nbr")
+    dens = _snapshot(
+        cell_density(img), f"{_FOCAL_SNAPSHOT}/density", reuse=True
     )
-    adj.write.mode("overwrite").parquet(f"{_FOCAL_SNAPSHOT}/adjacency")
-    adj = spark.read.parquet(f"{_FOCAL_SNAPSHOT}/adjacency")
+    adj = _snapshot(
+        dens.select(
+            "cell", F.explode(a5_cell_neighbors(F.col("cell"))).alias("nbr")
+        ),
+        f"{_FOCAL_SNAPSHOT}/adjacency",
+    )
     nb = dens.select(F.col("cell").alias("nbr"), F.col("n").alias("nbr_n"))
     focal = (
         adj.join(nb, "nbr", "left")
@@ -1657,9 +1749,7 @@ def q_hot_region_vectorize(spark, sf_dir):
     from a5spark.operators.spatial import assign_cells, cell_density, compact_cover
 
     img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
-    dens = cell_density(img)
-    dens.write.mode("overwrite").parquet(_HOTREGION_SNAPSHOT)
-    dens = spark.read.parquet(_HOTREGION_SNAPSHOT)
+    dens = _snapshot(cell_density(img), _HOTREGION_SNAPSHOT)
     hot = dens.filter(F.col("n") >= 1).select("cell")
     cover = compact_cover(hot, resolution_bounds=(5, 5))
     return (
@@ -1723,12 +1813,12 @@ def q_line_trace(spark, sf_dir):
     ).withColumn(
         "cell_m2", F.round(a5_cell_area_exact(F.col("cell"))).cast("long")
     )
-    traced.write.mode("overwrite").parquet(f"{_LINE_SNAPSHOT}/trace")
-    traced = spark.read.parquet(f"{_LINE_SNAPSHOT}/trace")
+    traced = _snapshot(traced, f"{_LINE_SNAPSHOT}/trace")
 
-    dens = cell_density(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
-    dens.write.mode("overwrite").parquet(f"{_LINE_SNAPSHOT}/density")
-    dens = spark.read.parquet(f"{_LINE_SNAPSHOT}/density")
+    dens = _snapshot(
+        cell_density(assign_cells(images_from_sf_dir(spark, sf_dir), 7)),
+        f"{_LINE_SNAPSHOT}/density",
+    )
 
     joined = traced.join(dens, "cell", "left")
     return (
@@ -1771,10 +1861,9 @@ def q_s2_crossindex(spark, sf_dir):
 
     img = images_from_sf_dir(spark, sf_dir)
     df = assign_cross_index(img, a5_resolution=5, s2_level=8)
-    df.select("image_id", "a5_cell", "s2_cell").write.mode("overwrite").parquet(
-        _S2_SNAPSHOT
+    snap = _snapshot(
+        df.select("image_id", "a5_cell", "s2_cell"), _S2_SNAPSHOT
     )
-    snap = spark.read.parquet(_S2_SNAPSHOT)
     return (
         snap.groupBy("a5_cell", "s2_cell")
         .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
@@ -1967,14 +2056,16 @@ def q_tile_pyramid(spark, sf_dir):
     assignment is snapshot to parquet; the oracle independently rolls up the
     per-tile image counts and key set (tile bytes themselves are pinned by the
     bit-identity render test in test_pipeline)."""
-    from a5spark import cache
     from a5spark.operators.spatial import assign_cells
     from a5spark.operators.tiles import tile_pyramid
 
-    assign_cells(images_from_sf_dir(spark, sf_dir), 8).select(
-        "image_id", "cell", "lon", "lat"
-    ).write.mode("overwrite").parquet(_TILE_SNAPSHOT)
-    img = cache.persist(spark.read.parquet(_TILE_SNAPSHOT))
+    img = _snapshot(
+        assign_cells(images_from_sf_dir(spark, sf_dir), 8).select(
+            "image_id", "cell", "lon", "lat"
+        ),
+        _TILE_SNAPSHOT,
+        reuse=True,
+    )
     tiles = tile_pyramid(img, [4, 5], fine_cell="cell", tile_px=32)
     return tiles.select(
         "cell", "resolution", "n_images", "tile_px", F.length("tile").alias("tile_bytes")
@@ -2039,7 +2130,25 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
 }
 
+# queries whose plan includes an oracle-snapshot parquet write+read (skipped
+# under SPARK_GRAFT_SKIP_SNAPSHOT for engine-only benchmarking — see
+# _snapshot/_oracle_export)
+SNAPSHOT_QUERIES = (
+    "cell_density_r7",
+    "multires_rollup",
+    "pip_join",
+    "grid_disk",
+    "skewed_density",
+    "focal_smoothing",
+    "hot_region_vectorize",
+    "line_trace",
+    "s2_crossindex",
+    "tile_pyramid",
+)
+
 ORACLES = {
+    "cell_density_r7": oracle_cell_density_r7(),
+    "ann_cosine": oracle_ann_cosine(),
     "hier_parent_rollup": oracle_hier_parent_rollup(),
     "hier_resolution": oracle_hier_resolution(),
     "hier_children": oracle_hier_children(),

@@ -29,7 +29,7 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def run_queries(spark, sf_dir):
+def run_queries(spark, sf_dir, names=None):
     """Per-query wall times. This microVM's CPU grant is bursty (single runs
     vary up to ~5x under steal), so queries whose first run exceeds a small
     threshold are re-run and the MIN is reported — the standard best-of-N
@@ -41,7 +41,8 @@ def run_queries(spark, sf_dir):
     retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "150"))
     times = {}
     rowcounts = {}
-    for name, fn in QUERIES.items():
+    items = [(n, QUERIES[n]) for n in names] if names else list(QUERIES.items())
+    for name, fn in items:
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -111,23 +112,40 @@ def run_scaling_throughput(spark, n_rows=4_000_000):
 def main():
     from a5spark.session import get_spark
 
+    from a5spark.entry_queries import SNAPSHOT_QUERIES
+
     spark = get_spark("a5spark-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up JVM + Python workers + kernel table builds.
-    run_flagship_throughput(spark, SF_DIR)
+    # MAIN PASS — engine-only: the parquet snapshot write+read some queries
+    # perform exists purely so DuckDB can verify them; skipping it here makes
+    # the per-query numbers measure the engine (and keeps them comparable to
+    # rounds before the snapshots existed). The snapshot-inclusive times are
+    # reported separately below as queries_oracle_io.
+    os.environ["SPARK_GRAFT_SKIP_SNAPSHOT"] = "1"
+    try:
+        # Warm up JVM + Python workers + kernel table builds.
+        run_flagship_throughput(spark, SF_DIR)
 
-    times, rowcounts = run_queries(spark, SF_DIR)
-    flag_sec, n_rows = run_flagship_throughput(spark, SF_DIR)
-    flag_sec2, _ = run_flagship_throughput(spark, SF_DIR)
-    flag_sec = min(flag_sec, flag_sec2)
+        times, rowcounts = run_queries(spark, SF_DIR)
+        flag_sec, n_rows = run_flagship_throughput(spark, SF_DIR)
+        flag_sec2, _ = run_flagship_throughput(spark, SF_DIR)
+        flag_sec = min(flag_sec, flag_sec2)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SKIP_SNAPSHOT", None)
     throughput = n_rows / flag_sec if flag_sec > 0 else 0.0
+
+    # SECOND PASS — snapshot-inclusive wall time for the oracle-snapshot
+    # queries (what the correctness run pays, including the /tmp parquet
+    # round-trip the oracle needs).
+    io_times, _ = run_queries(spark, SF_DIR, names=list(SNAPSHOT_QUERIES))
 
     result = {
         "metric": "spatial-join + cell-assignment wall time (flagship images pipeline)",
         "value": round(flag_sec, 3),
         "unit": "sec",
         "queries": times,
+        "queries_oracle_io": io_times,
         "sf": _sf_of(SF_DIR),
         "rows": n_rows,
         "throughput_rows_per_sec": round(throughput, 1),
