@@ -126,8 +126,9 @@ def point_in_polygon_join(
 
 # per-python-worker prepared-polygon cache: (refine epoch, polygon id) ->
 # PreparedPolygon. Workers are reused across batches, so each executor builds
-# each polygon's prepared structure once per job; entries are dropped when a
-# new epoch (new pip_refine call) appears.
+# each polygon's prepared structure once per job; all chunks of one
+# pip_refine call share one epoch, and entries are dropped once they fall
+# two calls behind.
 _PREP_CACHE: dict = {}
 _REFINE_EPOCH = 0
 
@@ -168,24 +169,38 @@ def pip_refine(
     broadcast per chunk, candidates routed by the same hash, results
     unioned; chunks call the collect worker directly, no per-chunk
     re-count) — a 10^6-polygon layer degrades to more passes instead of a
-    driver OOM."""
+    driver OOM. The bound is probed by the collect itself (LIMIT cap+1):
+    the common small-layer path pays exactly one job — the collect it needed
+    anyway — and only an over-limit layer runs the count that sizes the
+    chunking. All chunks of one call share ONE prep-cache epoch (their
+    polygon-id sets are hash-disjoint), so concurrently scheduled tasks from
+    different union branches never evict each other's prepared polygons."""
+    global _REFINE_EPOCH
+    _REFINE_EPOCH += 1
+    bid = _REFINE_EPOCH
+    probe = (
+        polygons.select(id_col, rings_col).limit(chunk_polygons + 1).collect()
+    )
+    if len(probe) <= chunk_polygons:
+        return _pip_refine_collected(
+            df, polygons, lon, lat, id_col, rings_col, bid,
+            rings_by_id={r[0]: r[1] for r in probe},
+        )
     n_poly = polygons.count()
-    if n_poly > chunk_polygons:
-        n_chunks = -(-n_poly // chunk_polygons)
-        chunk_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
-        parts = [
-            _pip_refine_collected(
-                df.filter(chunk_of == c),
-                polygons.filter(chunk_of == c),
-                lon, lat, id_col, rings_col,
-            )
-            for c in range(n_chunks)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    return _pip_refine_collected(df, polygons, lon, lat, id_col, rings_col)
+    n_chunks = -(-n_poly // chunk_polygons)
+    chunk_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+    parts = [
+        _pip_refine_collected(
+            df.filter(chunk_of == c),
+            polygons.filter(chunk_of == c),
+            lon, lat, id_col, rings_col, bid,
+        )
+        for c in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _pip_refine_collected(
@@ -195,18 +210,20 @@ def _pip_refine_collected(
     lat: str,
     id_col: str,
     rings_col: str,
+    bid: int,
+    rings_by_id: dict | None = None,
 ) -> DataFrame:
     """Single-collect refine worker: broadcasts the (bounded) polygon layer.
-    Callers bound |polygons| (see pip_refine)."""
+    Callers bound |polygons| (see pip_refine) and supply the shared prep-cache
+    epoch `bid`; a caller that already collected the layer passes it as
+    `rings_by_id` so the probe collect is not repeated."""
     schema = df.schema
     spark = df.sparkSession
-    rings_by_id = {
-        r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
-    }
+    if rings_by_id is None:
+        rings_by_id = {
+            r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
+        }
     bc = spark.sparkContext.broadcast(rings_by_id)
-    global _REFINE_EPOCH
-    _REFINE_EPOCH += 1
-    bid = _REFINE_EPOCH
 
     def refine(batches):
         from a5spark.kernels.polyfill import point_in_prepared_polygon
@@ -229,7 +246,10 @@ def _pip_refine_collected(
                 key = (bid, pid)
                 prep = _PREP_CACHE.get(key)
                 if prep is None:
-                    for stale in [k for k in _PREP_CACHE if k[0] != bid]:
+                    # evict only CLEARLY-STALE epochs (older than the
+                    # previous call); interleaved tasks from the current and
+                    # immediately-preceding call never thrash each other
+                    for stale in [k for k in _PREP_CACHE if k[0] < bid - 1]:
                         _PREP_CACHE.pop(stale, None)
                     prep = _prepare_rings(bc.value[pid])
                     _PREP_CACHE[key] = prep

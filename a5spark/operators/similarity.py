@@ -64,30 +64,36 @@ def _matmul_candidates(
     processed in deterministic hash chunks of at most that size (one
     collect + broadcast + map-only scan per chunk, unioned) — the driver
     never holds more than one chunk's matrix, so a 10^7-query fleet degrades
-    to more scans instead of a driver OOM."""
+    to more scans instead of a driver OOM.
+
+    The bound is probed by the collect itself (LIMIT max+1): the common
+    small-fleet path pays exactly one job — the collect it needed anyway —
+    and only an over-limit fleet runs the count that sizes the chunking."""
+    probe = queries.select(query_id, vec).limit(max_broadcast_queries + 1).toPandas()
+    if len(probe) <= max_broadcast_queries:
+        return _matmul_broadcast(
+            queries, points, k, query_id, point_id, vec, quantized, scale,
+            qpdf=probe,
+        )
     n_q = queries.count()
-    if n_q > max_broadcast_queries:
-        # single-level split (no recursion: pmod(hash, n) is correlated
-        # across levels, a re-split of one chunk would never separate it);
-        # hash variance can push a chunk slightly over the bound, which is
-        # fine — the bound is a driver-memory envelope, not an exact quota.
-        # Chunks call the broadcast worker directly (no per-chunk re-count).
-        n_chunks = -(-n_q // max_broadcast_queries)
-        chunk = F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_chunks))
-        parts = [
-            _matmul_broadcast(
-                queries.filter(chunk == c), points, k, query_id, point_id,
-                vec, quantized, scale,
-            )
-            for c in range(n_chunks)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    return _matmul_broadcast(
-        queries, points, k, query_id, point_id, vec, quantized, scale
-    )
+    # single-level split (no recursion: pmod(hash, n) is correlated
+    # across levels, a re-split of one chunk would never separate it);
+    # hash variance can push a chunk slightly over the bound, which is
+    # fine — the bound is a driver-memory envelope, not an exact quota.
+    # Chunks call the broadcast worker directly (no per-chunk re-count).
+    n_chunks = -(-n_q // max_broadcast_queries)
+    chunk = F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_chunks))
+    parts = [
+        _matmul_broadcast(
+            queries.filter(chunk == c), points, k, query_id, point_id,
+            vec, quantized, scale,
+        )
+        for c in range(n_chunks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _matmul_broadcast(
@@ -99,10 +105,12 @@ def _matmul_broadcast(
     vec: str,
     quantized: bool,
     scale: int,
+    qpdf=None,
 ) -> DataFrame:
     """Single-broadcast scorer: collects the (bounded) query frame, scores
     every point batch against it. Callers bound |queries| (see
-    _matmul_candidates)."""
+    _matmul_candidates); a caller that already collected the fleet passes it
+    as `qpdf` so the probe collect is not repeated."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -118,7 +126,8 @@ def _matmul_broadcast(
             StructField("score", DoubleType() if not quantized else LongType()),
         ]
     )
-    qpdf = queries.select(query_id, vec).toPandas()
+    if qpdf is None:
+        qpdf = queries.select(query_id, vec).toPandas()
     if len(qpdf) == 0:  # np.stack raises on an empty frame
         return queries.sparkSession.createDataFrame([], schema_out)
     q_ids = qpdf[query_id].to_numpy()

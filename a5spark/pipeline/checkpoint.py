@@ -11,11 +11,16 @@ manifest keeps the engine storage-agnostic):
     manifest line {part, rows, min/max keys, wall time} in _manifest/<p>.json;
   * resume = anti-join the partition list against committed manifest entries:
     only missing partitions are recomputed.
+
+All sidecar I/O (manifest read/write, stale-partition cleanup) goes through
+the Hadoop FileSystem API resolved from the path's scheme, so the manifest
+protocol works identically on local paths, HDFS, and object stores — the
+same resolution the parquet writes themselves use. A local-only Python
+fallback keeps `committed_partitions` usable without an active session.
 """
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,11 +31,62 @@ def with_partition(df: DataFrame, key: str, n_parts: int, out: str = "part") -> 
     return df.withColumn(out, F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int"))
 
 
-def committed_partitions(out_dir: str) -> set:
+def _fs(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path, jvm) for a path of any supported scheme."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _read_text(spark: SparkSession, path_str: str) -> str:
+    fs, p, jvm = _fs(spark, path_str)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, p, _ = _fs(spark, path_str)
+    out = fs.create(p, True)  # overwrite: manifest commits are idempotent
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _delete_dir(spark: SparkSession, path_str: str) -> None:
+    fs, p, _ = _fs(spark, path_str)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _dir_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, p, _ = _fs(spark, path_str)
+    return bool(fs.exists(p))
+
+
+def committed_partitions(out_dir: str, spark: SparkSession | None = None) -> set:
+    """Partition ids with a committed manifest entry. Uses the Hadoop
+    FileSystem of the active session when available (DFS/object-store
+    paths); falls back to local-filesystem listing otherwise."""
+    spark = spark or SparkSession.getActiveSession()
     mdir = os.path.join(out_dir, "_manifest")
-    if not os.path.isdir(mdir):
-        return set()
     parts = set()
+    if spark is not None:
+        fs, p, _ = _fs(spark, mdir)
+        if not fs.exists(p):
+            return parts
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.endswith(".json"):
+                entry = json.loads(_read_text(spark, os.path.join(mdir, name)))
+                if entry.get("status") == "committed":
+                    parts.add(int(entry["part"]))
+        return parts
+    if not os.path.isdir(mdir):
+        return parts
     for name in os.listdir(mdir):
         if name.endswith(".json"):
             with open(os.path.join(mdir, name)) as f:
@@ -54,13 +110,14 @@ def run_partitioned(
     COMMIT unit, not a parallelism unit; within one part the full cluster
     parallelism applies.
     """
-    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    done = committed_partitions(out_dir)
+    spark = df.sparkSession
+    mfs, mpath, _ = _fs(spark, os.path.join(out_dir, "_manifest"))
+    mfs.mkdirs(mpath)
+    done = committed_partitions(out_dir, spark)
     todo = [p for p in range(n_parts) if p not in done]
     staged = with_partition(df, key, n_parts)
     total_rows = 0
     t_start = time.time()
-    spark = df.sparkSession
     for i in range(0, len(todo), batch_parts):
         batch = todo[i : i + batch_parts]
         part_df = staged.filter(F.col("part").isin(batch))
@@ -71,10 +128,10 @@ def run_partitioned(
         # attempt that wrote part=p could survive if a (nondeterministic)
         # resumed source now yields zero rows for p — and the file-derived
         # count below would commit those stale rows into the manifest.
+        # (Hadoop FS delete, so the cleanup also works on DFS/object-store
+        # out_dirs, not just local paths.)
         for p in batch:
-            stale = os.path.join(path, f"part={p}")
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+            _delete_dir(spark, os.path.join(path, f"part={p}"))
         # dynamic partition overwrite makes a re-run of an uncommitted batch
         # idempotent (a crash between the data write and the manifest write
         # would otherwise duplicate rows on resume under append mode)
@@ -90,7 +147,7 @@ def run_partitioned(
         batch_dirs = [
             os.path.join(path, f"part={p}")
             for p in batch
-            if os.path.isdir(os.path.join(path, f"part={p}"))
+            if _dir_exists(spark, os.path.join(path, f"part={p}"))
         ]
         counts = {}
         if batch_dirs:
@@ -110,8 +167,11 @@ def run_partitioned(
                 "lineage": {"source": key, "n_parts": n_parts},
                 "wall_sec": round(time.time() - t_start, 3),
             }
-            with open(os.path.join(out_dir, "_manifest", f"{p}.json"), "w") as f:
-                json.dump(entry, f)
+            _write_text(
+                spark,
+                os.path.join(out_dir, "_manifest", f"{p}.json"),
+                json.dumps(entry),
+            )
             total_rows += entry["rows"]
     return {
         "committed_before": len(done),

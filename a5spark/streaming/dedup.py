@@ -78,13 +78,17 @@ def streaming_dedup(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     # NULL text -> NULL digest would form a null group key and
     # int(key[0]) would fail the whole micro-batch; route nulls to a
-    # sentinel digest instead (matching the batch groupBy, which silently
-    # groups all null digests together)
+    # sentinel digest instead. The group key is the COMPOSITE
+    # (digest, is_null_text): xxhash-style digests span the full int64
+    # range, so a legitimate content digest of -1 must not silently merge
+    # with the null-text group — the flag keeps them separate state entries
+    # while the emitted `digest` column stays a plain long.
     keyed = stream.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(content_digest(F.col(text)), F.lit(-1)).alias("digest"),
+        F.col(text).isNull().cast("int").alias("is_null_text"),
     )
-    return keyed.groupBy("digest").applyInPandasWithState(
+    return keyed.groupBy("digest", "is_null_text").applyInPandasWithState(
         _dedup_fn,
         outputStructType=DEDUP_SCHEMA,
         stateStructType=_STATE_SCHEMA,
