@@ -1307,12 +1307,16 @@ def _sql_lsh_keyed_ctes(
     dim: int = None,
     bucket_cap: int = None,
     extra_bits: int = None,
+    probe: bool = False,
 ) -> str:
     """CTE chain `buckets -> wide -> suffixes -> keyed` reproducing the
     bucket-cap refinement of operators/similarity._extend_assign over a CTE
     `qv(vec_id, v)`: primary buckets wider than the cap extend their key by
     `extra_bits` suffix hyperplane bits (key = bucket + suffix * 2^n_bits,
-    matching Spark's shiftleft)."""
+    matching Spark's shiftleft). probe=True appends a `keyed_q` CTE — the
+    QUERY-side multi-probe key set, where wide-bucket rows additionally emit
+    every single-bit flip of their suffix (similarity._extend_assign
+    probe_flips)."""
     n_bits = _LSH_BITS if n_bits is None else n_bits
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     dim = _LSH_DIM if dim is None else dim
@@ -1328,7 +1332,7 @@ def _sql_lsh_keyed_ctes(
         f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, extra_bits, n_bits, dim)} AS suffix FROM qv_need"
         for t in range(n_tables)
     )
-    return f"""
+    ctes = f"""
     buckets AS ({prim}),
     wide AS (
       SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > {bucket_cap}
@@ -1348,6 +1352,23 @@ def _sql_lsh_keyed_ctes(
       LEFT JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
       LEFT JOIN suffixes s ON s.vec_id = b.vec_id AND s.t = b.t
     )"""
+    if probe:
+        from a5spark.operators.similarity import _probe_masks
+
+        flips = "[" + ",".join(str(f) for f in [0] + _probe_masks(extra_bits)) + "]"
+        ctes += f""",
+    keyed_q AS (
+      SELECT b.vec_id, b.t,
+             CASE WHEN w.bucket IS NOT NULL
+                  THEN CAST(b.bucket AS BIGINT) + CAST(xor(s.suffix, f.flip) AS BIGINT) * {1 << n_bits}
+                  ELSE CAST(b.bucket AS BIGINT) END AS bucket
+      FROM buckets b
+      LEFT JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
+      LEFT JOIN suffixes s ON s.vec_id = b.vec_id AND s.t = b.t
+      CROSS JOIN (SELECT unnest({flips}) AS flip) f
+      WHERE w.bucket IS NOT NULL OR f.flip = 0
+    )"""
+    return ctes
 
 
 def oracle_ann_lsh():
@@ -1356,10 +1377,10 @@ def oracle_ann_lsh():
       SELECT vec_id,
              list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
       FROM embeddings
-    ), {_sql_lsh_keyed_ctes()},
+    ), {_sql_lsh_keyed_ctes(probe=True)},
     pairs AS (
       SELECT DISTINCT q.vec_id AS q_id, p.vec_id AS vec_id
-      FROM keyed q JOIN keyed p ON q.t = p.t AND q.bucket = p.bucket
+      FROM keyed_q q JOIN keyed p ON q.t = p.t AND q.bucket = p.bucket
       WHERE q.vec_id % 25 = 0
     ), scored AS (
       SELECT pr.q_id, pr.vec_id,

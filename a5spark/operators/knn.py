@@ -36,9 +36,7 @@ from a5spark.functions.udfs import haversine_m
 _EARTH_COVER_M = math.pi * 6371007.2
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def a5_grid_disk(cell: pd.Series, k: pd.Series) -> pd.Series:
-    """Disk of cells within k edge-hops of each input cell (uncompacted)."""
+def _grid_disk_series(cell: pd.Series, k: pd.Series, edge_only: bool) -> pd.Series:
     from a5spark.kernels.serialization import from_signed, to_signed
     from a5spark.kernels.traversal import grid_disk_batch
 
@@ -47,12 +45,29 @@ def a5_grid_disk(cell: pd.Series, k: pd.Series) -> pd.Series:
     out = [None] * len(cells)
     for kk in np.unique(kv):
         idx = np.where(kv == kk)[0]
-        rows, disk = grid_disk_batch(cells[idx], int(kk), edge_only=True, do_compact=False)
+        rows, disk = grid_disk_batch(
+            cells[idx], int(kk), edge_only=edge_only, do_compact=False
+        )
         signed = to_signed(disk)
         bounds = np.searchsorted(rows, np.arange(len(idx) + 1))
         for j in range(len(idx)):
             out[idx[j]] = signed[bounds[j] : bounds[j + 1]].tolist()
     return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def a5_grid_disk(cell: pd.Series, k: pd.Series) -> pd.Series:
+    """Disk of cells within k EDGE-hops of each input cell (uncompacted) —
+    reference a5/traversal/grid_disk.py grid_disk."""
+    return _grid_disk_series(cell, k, edge_only=True)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def a5_grid_disk_vertex(cell: pd.Series, k: pd.Series) -> pd.Series:
+    """Disk of cells within k VERTEX-hops (corner adjacency included) of each
+    input cell — reference a5/traversal/grid_disk.py grid_disk_vertex; a
+    superset of the edge disk at the same k."""
+    return _grid_disk_series(cell, k, edge_only=False)
 
 
 @F.pandas_udf(ArrayType(LongType()))

@@ -12,10 +12,13 @@ becomes the canonical, later arrivals emit as duplicates pointing at it.
 Replays of a micro-batch are deterministic (rows sort by id before the scan).
 
 State is O(#distinct digests) — the inherent price of EXACT streaming dedup
-(the batch job pays the same as a shuffle). Production deployments bound it
-with an event-time timeout (digest TTL) exactly like streaming/sessions.py;
-the documents table has no event time, so this operator keeps NoTimeout and
-documents the bound instead.
+(the batch job pays the same as a shuffle). For time-keyed sources,
+`streaming_dedup_ttl` bounds it with an event-time digest TTL (the
+sessions.py timeout pattern): a digest with no arrivals for `ttl` past the
+watermark drops its state, so a later replica becomes a NEW canonical —
+state is O(#digests active within one TTL window), the standard
+sliding-window relaxation of exact dedup. `streaming_dedup` (no event time)
+keeps NoTimeout and unbounded state.
 """
 
 import pandas as pd
@@ -43,24 +46,48 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _dedup_fn(key, pdfs, state: GroupState):
-    digest = int(key[0])
-    rows = pd.concat(list(pdfs)).sort_values("doc_id")
-    ids = rows["doc_id"].astype("int64")
-    if state.exists:
-        canon, n = state.get
-    else:
-        canon, n = int(ids.iloc[0]), 0
-    n += len(ids)
-    state.update((int(canon), int(n)))
-    yield pd.DataFrame(
-        {
-            "digest": pd.Series([digest] * len(ids), dtype="int64"),
-            "doc_id": ids.to_numpy(),
-            "canonical_id": pd.Series([canon] * len(ids), dtype="int64"),
-            "is_dup": (ids.to_numpy() != canon).astype("int32"),
-        }
-    )
+def _make_dedup_fn(ttl_ms: int | None = None):
+    """Stateful per-digest worker. With ttl_ms set, rows must carry an
+    event-time `ts` column: the digest's timeout re-arms at max(ts) + ttl on
+    every arrival, and a watermark-fired timeout removes the state (the
+    mapping rows were already emitted — removal only forgets the canonical,
+    so a post-TTL replica starts a fresh group)."""
+
+    def fn(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter([])
+        digest = int(key[0])
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        ids = rows["doc_id"].astype("int64")
+        if state.exists:
+            canon, n = state.get
+        else:
+            canon, n = int(ids.iloc[0]), 0
+        n += len(ids)
+        state.update((int(canon), int(n)))
+        if ttl_ms is not None:
+            last_ms = int(rows["ts"].astype("int64").max()) // 1_000_000
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "digest": pd.Series([digest] * len(ids), dtype="int64"),
+                        "doc_id": ids.to_numpy(),
+                        "canonical_id": pd.Series(
+                            [canon] * len(ids), dtype="int64"
+                        ),
+                        "is_dup": (ids.to_numpy() != canon).astype("int32"),
+                    }
+                )
+            ]
+        )
+
+    return fn
+
+
+_dedup_fn = _make_dedup_fn(None)
 
 
 def streaming_dedup(
@@ -94,4 +121,46 @@ def streaming_dedup(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_ttl(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    ttl: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup canonical mapping with BOUNDED state for
+    time-keyed sources: one state entry per content digest seen within the
+    trailing `ttl` window. A digest idle past the watermark for `ttl` drops
+    its state (sessions.py's EventTimeTimeout pattern) — a replica arriving
+    after that becomes a new canonical, the standard sliding-window
+    relaxation that keeps state O(#digests per TTL window) at any corpus
+    size."""
+    import pandas as _pd
+
+    from a5spark.operators.dedup import content_digest
+
+    ttl_ms = int(_pd.Timedelta(ttl).total_seconds() * 1000)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    keyed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.coalesce(content_digest(F.col(text)), F.lit(-1)).alias("digest"),
+        F.col(text).isNull().cast("int").alias("is_null_text"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("digest", "is_null_text")
+        .applyInPandasWithState(
+            _make_dedup_fn(ttl_ms),
+            outputStructType=DEDUP_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
