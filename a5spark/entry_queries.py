@@ -557,9 +557,14 @@ def q_cover_set_ops(spark, sf_dir):
     counts."""
     from a5spark.operators.spatial import compact_cover, uncompact_cover
 
+    from a5spark import cache
+
     li = _t(spark, sf_dir, "lineitem")
-    a = _spark_cover6(spark, li, "a", 88, 3)
-    b = _spark_cover6(spark, li, "b", 60, 4)
+    # persist both covers: uncompact_cover references its input twice
+    # (hilbert/low regime branches), so an unpersisted cover would re-run
+    # the distinct-over-lineitem scan per branch — 8x the source reads
+    a = cache.persist(_spark_cover6(spark, li, "a", 88, 3))
+    b = cache.persist(_spark_cover6(spark, li, "b", 60, 4))
     # tag every cell of a (outer-join) b with the set ops it belongs to, then
     # run ONE compact descent partitioned by op (group_cols) — a third of the
     # stages of three separate compacts, identical results

@@ -157,10 +157,17 @@ def compact_cover(
     of another input cell. Res-0 cells are emitted as-is (the reference's
     12-res-0-cells -> world-cell collapse is intentionally not performed —
     a cover equal to the whole globe is better expressed upstream)."""
+    from a5spark import cache
     from a5spark.functions.udfs import a5_compact_list
 
     g = list(group_cols)
-    cur = df.select(*g, F.col(cell).alias("__c"))
+    # persist the input cover and each stage's survivor set: every stage (and
+    # the final low/high split) references its `cur` TWICE (fine/passed), and
+    # Spark re-evaluates the full lineage per union branch — for a cover
+    # derived from an expensive source (a distinct over a fact table) that
+    # re-scan dominates at scale. The persisted frames are cover-sized
+    # (small by definition) and are released by the caller's cache scope.
+    cur = cache.persist(df.select(*g, F.col(cell).alias("__c")))
     res_col = native.cell_resolution(F.col("__c"))
     if resolution_bounds is not None:
         # caller-known range (e.g. a freshly uncompacted single-resolution
@@ -194,7 +201,7 @@ def compact_cover(
             .agg(F.collect_list("__c").alias("__cells"))
             .select(*g, F.explode(a5_compact_list(F.col("__cells"))).alias("__c"))
         )
-        cur = compacted.unionByName(passed)
+        cur = cache.persist(compacted.unionByName(passed))
         r_hi = a
     # final pass: 2 -> 1 -> 0 collapses across anchors (tiny by construction:
     # at most 240 res-2 cells exist globally per group); dedup happens inside
