@@ -873,10 +873,10 @@ def oracle_embed_neardup():
       FROM embeddings
     ), n AS (
       SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
-    ), {_sql_lsh_keyed_ctes()},
+    ), {_sql_lsh_keyed_ctes(probe=True)},
     pairs AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM keyed a JOIN keyed b ON a.t = b.t AND a.bucket = b.bucket
+      FROM keyed_q a JOIN keyed b ON a.t = b.t AND a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id
     ), scored AS (
       SELECT p.id_a, p.id_b,
@@ -1260,12 +1260,22 @@ _LSH_BITS = 3
 _LSH_TABLES = 12
 _LSH_DIM = 64
 # Structural scale guard: primary buckets wider than this split by
-# _LSH_EXTRA_BITS secondary hyperplanes (similarity._extend_assign). The cap
-# is set well above the expected uniform load at bench scales (it exists for
-# pathological pile-ups, not to shave uniformly-loaded buckets, which would
-# cost recall); the oracle SQL models the refinement chain either way, and
-# tests/test_round3.py exercises the TRIGGERED path cross-engine.
-_LSH_BUCKET_CAP = 100_000
+# _LSH_EXTRA_BITS secondary hyperplanes (similarity._extend_assign), with
+# Hamming-<=2 multi-probing on the query / id_a side so recall inside a
+# split bucket follows the 3-bit-disagreement tail instead of collapsing.
+# Split depth grows with bucket width (bitlength((n-1)//cap) + margin,
+# clamped to [_LSH_EXTRA_BITS, +headroom] — similarity._wide_buckets), so
+# expected slice size stays ~cap/2^margin and probed join volume per bucket
+# is ~n_b * slice * |probe| — near-linear in corpus size instead of the
+# n_b^2 blob a fixed depth leaves just under its cap (the sf1 embed_neardup
+# regression BASELINE.md documented in round 4). With 3 primary bits the
+# per-table bucket load is n/8, so any corpus beyond ~4k vectors splits. At
+# oracle scale (sf0.01, ~25/bucket) and bench scale (sf0.1, ~250/bucket)
+# the cap never triggers, so those results are byte-identical to the
+# uncapped formulation; the oracle SQL models the refinement + probe +
+# adaptive-depth chain either way, and tests/test_round{3,4}.py exercise
+# the TRIGGERED path cross-engine.
+_LSH_BUCKET_CAP = 500
 _LSH_EXTRA_BITS = 12
 
 
@@ -1322,25 +1332,34 @@ def _sql_lsh_keyed_ctes(
     QUERY-side multi-probe key set, where wide-bucket rows additionally emit
     every single-bit flip of their suffix (similarity._extend_assign
     probe_flips)."""
+    from a5spark.operators.similarity import _EB_HEADROOM, _EB_MARGIN
+
     n_bits = _LSH_BITS if n_bits is None else n_bits
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     dim = _LSH_DIM if dim is None else dim
     bucket_cap = _LSH_BUCKET_CAP if bucket_cap is None else bucket_cap
     extra_bits = _LSH_EXTRA_BITS if extra_bits is None else extra_bits
+    eb_ceiling = extra_bits + _EB_HEADROOM
     prim = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, n_bits, 0, dim)} AS bucket FROM qv"
         for t in range(n_tables)
     )
     # suffix bits evaluate only over rows that hit a wide bucket (qv_need),
-    # mirroring the Spark side where the suffix pass runs on `need` ids only
+    # mirroring the Spark side where the suffix pass runs on `need` ids
+    # only; bits are computed to the depth CEILING and masked down to each
+    # bucket's own adaptive depth `eb` (bitlength((n-1)//cap) + margin,
+    # clamped to [extra_bits, ceiling] — similarity._wide_buckets)
     suf = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, extra_bits, n_bits, dim)} AS suffix FROM qv_need"
+        f"SELECT vec_id, {t} AS t, {_sql_bucket_expr(t, eb_ceiling, n_bits, dim)} AS suffix FROM qv_need"
         for t in range(n_tables)
     )
     ctes = f"""
     buckets AS ({prim}),
     wide AS (
-      SELECT t, bucket FROM buckets GROUP BY t, bucket HAVING count(*) > {bucket_cap}
+      SELECT t, bucket,
+             LEAST({eb_ceiling}, GREATEST({extra_bits},
+                   CAST(length(bin((count(*) - 1) // {bucket_cap})) AS INTEGER) + {_EB_MARGIN})) AS eb
+      FROM buckets GROUP BY t, bucket HAVING count(*) > {bucket_cap}
     ),
     need AS (
       SELECT DISTINCT b.vec_id FROM buckets b
@@ -1351,7 +1370,7 @@ def _sql_lsh_keyed_ctes(
     keyed AS (
       SELECT b.vec_id, b.t,
              CASE WHEN w.bucket IS NOT NULL
-                  THEN CAST(b.bucket AS BIGINT) + CAST(s.suffix AS BIGINT) * {1 << n_bits}
+                  THEN CAST(b.bucket AS BIGINT) + CAST(s.suffix % (1 << w.eb) AS BIGINT) * {1 << n_bits}
                   ELSE CAST(b.bucket AS BIGINT) END AS bucket
       FROM buckets b
       LEFT JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
@@ -1360,18 +1379,19 @@ def _sql_lsh_keyed_ctes(
     if probe:
         from a5spark.operators.similarity import _probe_masks
 
-        flips = "[" + ",".join(str(f) for f in [0] + _probe_masks(extra_bits)) + "]"
+        flips = "[" + ",".join(str(f) for f in [0] + _probe_masks(eb_ceiling)) + "]"
         ctes += f""",
     keyed_q AS (
       SELECT b.vec_id, b.t,
              CASE WHEN w.bucket IS NOT NULL
-                  THEN CAST(b.bucket AS BIGINT) + CAST(xor(s.suffix, f.flip) AS BIGINT) * {1 << n_bits}
+                  THEN CAST(b.bucket AS BIGINT) + CAST(xor(s.suffix % (1 << w.eb), f.flip) AS BIGINT) * {1 << n_bits}
                   ELSE CAST(b.bucket AS BIGINT) END AS bucket
       FROM buckets b
       LEFT JOIN wide w ON w.t = b.t AND w.bucket = b.bucket
       LEFT JOIN suffixes s ON s.vec_id = b.vec_id AND s.t = b.t
       CROSS JOIN (SELECT unnest({flips}) AS flip) f
-      WHERE w.bucket IS NOT NULL OR f.flip = 0
+      WHERE (w.bucket IS NOT NULL AND f.flip < (1 << w.eb))
+         OR (w.bucket IS NULL AND f.flip = 0)
     )"""
     return ctes
 

@@ -245,31 +245,48 @@ def hyperplane_buckets(
 
     Bit b of table t = sign of the +-1-weighted integer sum of round(x*scale)
     components (signs from hyperplane_signs) — exact int64 arithmetic, so
-    bucket assignment is bit-identical across engines. The sign tables are
-    baked as array literals: the per-row cost is n_tables*n_bits fused
-    zip_with/aggregate passes, all JVM-side.
+    bucket assignment is bit-identical across engines (the oracle bakes the
+    same sign literals into SQL).
+
+    Evaluated as ONE Arrow-batched int64 matmul per pandas batch:
+    (batch x dim) @ (dim x n_tables*n_bits) + sign + bit-pack. An earlier
+    formulation as n_tables*n_bits chained aggregate(zip_with(...)) Catalyst
+    expressions was measured 3 orders of magnitude slower (110 s vs <0.5 s
+    for 20k rows x 12 tables x 12 bits at sf1): higher-order array functions
+    are interpreted per element, not codegen'd — this is the documented
+    exception where a vectorized pandas_udf beats the built-in path.
+    Quantization uses np.round, matching the numpy scorer
+    (_matmul_broadcast) that the oracle-checked ann_quantized runs on.
 
     first_bit shifts the hyperplane index range to [first_bit,
     first_bit+n_bits) — used to derive SUFFIX bands for wide-bucket
     refinement that are independent of (but deterministic alongside) the
     primary bits."""
-    qv = quantize(vec, scale)
-    buckets = []
-    for t in range(n_tables):
-        bits = []
-        for b in range(n_bits):
-            signs = F.array(*[F.lit(s) for s in hyperplane_signs(t, first_bit + b, dim)])
-            signed_sum = F.aggregate(
-                F.zip_with(qv, signs, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(signed_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bb in bits[1:]:
-            out = out + bb
-        buckets.append(out)
-    return F.array(*buckets)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [
+            hyperplane_signs(t, first_bit + b, dim)
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.int64,
+    ).T  # (dim, n_tables*n_bits)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        q = np.round(m * scale).astype(np.int64)
+        sums = q @ S  # (batch, n_tables*n_bits)
+        bits = (sums > 0).reshape(-1, n_tables, n_bits)
+        out = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    return _buckets(vec)
 
 
 def _probe_masks(extra_bits: int) -> list:
@@ -284,15 +301,48 @@ def _probe_masks(extra_bits: int) -> list:
     return singles + doubles
 
 
-def _wide_buckets(assign: DataFrame, bucket_cap: int) -> DataFrame:
+# Adaptive split depth: a bucket of width n splits by
+#   eb = clamp(bitlength((n-1) // cap) + _EB_MARGIN, extra_bits, extra_bits
+#              + _EB_HEADROOM)
+# suffix hyperplanes. bitlength((n-1)//cap) alone would make the expected
+# slice ~cap; the +margin drives slices to ~cap/2^margin so the probed join
+# volume per bucket is ~n * slice * |probe set| — near-linear in n instead
+# of n^2/2^eb with a fixed depth. margin=2 (slice ~cap/4) is the measured
+# recall/volume balance: at margin=4 the hot-cluster ANN recall fixture
+# drops to 0.875 (<0.9) because Hamming-<=2 probing over the deeper suffix
+# recovers a smaller fraction of the split neighborhood. The clamp floor keeps historic fixed-depth
+# behavior for moderate overloads (every pre-round-4 test corpus lands on
+# the floor); the ceiling bounds the SQL literal size and probe-mask count.
+# bitlength is length(bin(d)) in BOTH engines (neither pads), so the depth
+# rule is oracle-expressible.
+_EB_MARGIN = 2
+_EB_HEADROOM = 12
+
+
+def _wide_buckets(
+    assign: DataFrame, bucket_cap: int, extra_bits: int = 12
+) -> DataFrame:
     """(table, bucket) keys whose population exceeds bucket_cap — the hot
-    buckets a bucket self/equi-join must not process as-is. The result is
-    tiny by construction (<= rows/cap entries per table) and is broadcast by
-    the callers."""
+    buckets a bucket self/equi-join must not process as-is — with the
+    per-bucket adaptive split depth `__web`. The result is tiny by
+    construction (<= rows/cap entries per table) and is broadcast by the
+    callers."""
     from a5spark import cache
 
     # renamed key columns: `wide` derives from the same plan as `assign`, so
     # the downstream join must not share attribute names (self-join ambiguity)
+    depth = F.least(
+        F.lit(extra_bits + _EB_HEADROOM),
+        F.greatest(
+            F.lit(extra_bits),
+            (
+                F.length(
+                    F.bin(((F.col("__n") - F.lit(1)) / F.lit(bucket_cap)).cast("long"))
+                )
+                + F.lit(_EB_MARGIN)
+            ).cast("int"),
+        ),
+    )
     return cache.persist(
         assign.groupBy("__t", "__bucket")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -301,6 +351,7 @@ def _wide_buckets(assign: DataFrame, bucket_cap: int) -> DataFrame:
             F.col("__t").alias("__wt"),
             F.col("__bucket").alias("__wb"),
             F.lit(1).alias("__wide"),
+            depth.alias("__web"),
         )
     )
 
@@ -347,45 +398,58 @@ def _extend_assign(
 
     Returns (id_col, __t, __bucket) with refined (long) keys (multi-probe
     rows may repeat per flip — downstream joins dedup pairs)."""
+    # the deepest split any bucket demands decides how many suffix
+    # hyperplanes to evaluate (one tiny job on the broadcast-sized `wide`);
+    # per-bucket keys then mask their suffix down to that bucket's own depth
+    eb_needed = wide.agg(F.max("__web")).first()[0] or extra_bits
     marked = assign.join(
         F.broadcast(wide),
         (F.col("__t") == F.col("__wt")) & (F.col("__bucket") == F.col("__wb")),
         "left",
-    ).select(id_col, "__t", "__bucket", "__wide")
+    ).select(id_col, "__t", "__bucket", "__wide", "__web")
     need = marked.filter(F.col("__wide") == 1).select(id_col).distinct()
     suffixes = vectors.join(need, id_col).select(
         F.col(id_col),
         F.posexplode(
             hyperplane_buckets(
-                F.col(vec), dim, extra_bits, n_tables, scale, first_bit=n_bits
+                F.col(vec), dim, eb_needed, n_tables, scale, first_bit=n_bits
             )
         ).alias("__t", "__suffix"),
     )
     joined = marked.join(suffixes, [id_col, "__t"], "left")
+    depth_limit = F.expr("shiftleft(CAST(1 AS BIGINT), __web)")
+    masked = F.pmod(F.col("__suffix").cast("long"), depth_limit)
     if probe_flips:
         # explode AFTER wideness is known: only rows whose own (t, bucket)
         # is wide fan out into the flip variants — a row of a multi-table id
-        # whose THIS-table bucket is narrow keeps exactly one key
+        # whose THIS-table bucket is narrow keeps exactly one key. Flip
+        # masks touching bits at or above the bucket's own depth are
+        # filtered out, so shallow buckets keep a small probe set.
+        mask_arr = F.array(
+            F.lit(0).cast("long"),
+            *[F.lit(m).cast("long") for m in _probe_masks(eb_needed)],
+        )
         variants = F.when(
             F.col("__wide") == 1,
-            F.array(
-                F.col("__suffix"),
-                *[
-                    F.col("__suffix").bitwiseXOR(F.lit(m))
-                    for m in _probe_masks(extra_bits)
-                ],
+            F.transform(
+                F.filter(mask_arr, lambda m: m < depth_limit),
+                lambda m: masked.bitwiseXOR(m),
             ),
-        ).otherwise(F.array(F.lit(None).cast("int")))
+        ).otherwise(F.array(F.lit(None).cast("long")))
         joined = joined.select(
             id_col, "__t", "__bucket", "__wide",
-            F.explode(variants).alias("__suffix"),
+            F.explode(variants).alias("__sfx"),
+        )
+    else:
+        joined = joined.select(
+            id_col, "__t", "__bucket", "__wide", masked.alias("__sfx")
         )
     return (
         joined.withColumn(
             "__bucket",
             F.when(
                 F.col("__wide") == 1,
-                F.col("__bucket") + F.shiftleft(F.col("__suffix").cast("long"), n_bits),
+                F.col("__bucket") + F.shiftleft(F.col("__sfx"), n_bits),
             ).otherwise(F.col("__bucket").cast("long")),
         )
         .select(id_col, "__t", "__bucket")
@@ -402,11 +466,23 @@ def neardup_candidate_pairs(
     vec: str = "embedding",
     bucket_cap: int | None = 100_000,
     extra_bits: int = 12,
+    probe_flips: bool = True,
 ) -> DataFrame:
     """LSH candidate self-join: distinct (id_a < id_b) pairs colliding in any
     table's (possibly cap-refined) bucket. Exposed separately so candidate
     VOLUME is measurable — the subquadratic guarantee under bucket_cap is
-    what makes the near-dup family usable at corpus scale."""
+    what makes the near-dup family usable at corpus scale.
+
+    probe_flips=True (default) multi-probes the A side of the self-join when
+    a bucket splits under the cap: id_a rows in a wide bucket emit their
+    refined key plus every Hamming-<=2 suffix flip, so a pair whose suffixes
+    disagree on at most two extra hyperplanes is still found (suffix
+    agreement is symmetric under XOR, so one probed side recovers the pair
+    in either id order). Volume inside a split bucket stays
+    ~(1 + eb + eb(eb-1)/2) / 2^eb of the unsplit square — for eb=12 a 52x
+    cut — while recall for genuinely-near pairs (cos >= 0.9, per-hyperplane
+    agreement ~0.86) holds at P(ham<=2 of 12) ~ 0.76 per split table, vs
+    2^-12-scale collapse without probing."""
     from a5spark import cache
 
     assign = df.select(
@@ -415,12 +491,14 @@ def neardup_candidate_pairs(
             "__t", "__bucket"
         ),
     )
+    assign_a = assign
     if bucket_cap is not None:
         # persist: the width probe, the (conditional) refinement joins and
         # the two self-join sides all reuse ONE evaluation of the hyperplane
         # expression instead of recomputing it per reference
         assign = cache.persist(assign)
-        wide = _wide_buckets(assign, bucket_cap)
+        assign_a = assign
+        wide = _wide_buckets(assign, bucket_cap, extra_bits)
         if not wide.isEmpty():  # one tiny probe job; skips the whole
             # refinement layer when no bucket is hot (the common case)
             assign = cache.persist(
@@ -429,7 +507,15 @@ def neardup_candidate_pairs(
                     dim, n_bits, n_tables, scale, extra_bits,
                 )
             )
-    b1 = assign.select(
+            if probe_flips:
+                assign_a = _extend_assign(
+                    assign_a, df.select(id_col, vec), wide, id_col, vec,
+                    dim, n_bits, n_tables, scale, extra_bits,
+                    probe_flips=True,
+                )
+            else:
+                assign_a = assign
+    b1 = assign_a.select(
         F.col(id_col).alias("id_a"), "__t", F.col("__bucket").alias("__b")
     )
     b2 = assign.select(
@@ -455,6 +541,7 @@ def cosine_neardup_pairs(
     vec: str = "embedding",
     bucket_cap: int | None = 100_000,
     extra_bits: int = 12,
+    probe_flips: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: banded-LSH candidate self-join +
     integer-exact cosine threshold.
@@ -473,9 +560,12 @@ def cosine_neardup_pairs(
     per-bucket join volume stays <= max(cap, cluster)^2 instead of the
     near-quadratic blowup a few hot primary buckets would otherwise cause at
     corpus scale. Pass bucket_cap=None to disable (exact historic
-    behavior)."""
+    behavior). probe_flips (default on) Hamming-<=2-probes the A side of the
+    split-bucket self-join so cap-induced recall loss stays on the far-tail
+    pairs only — see neardup_candidate_pairs."""
     pairs = neardup_candidate_pairs(
-        df, dim, n_bits, n_tables, scale, id_col, vec, bucket_cap, extra_bits
+        df, dim, n_bits, n_tables, scale, id_col, vec, bucket_cap, extra_bits,
+        probe_flips,
     )
     qv = df.select(
         F.col(id_col),
@@ -573,7 +663,7 @@ def lsh_bucket_topk(
         # evaluation; the probe also skips the refinement joins entirely
         # when no bucket is hot (the common case).
         pb = cache.persist(pb)
-        wide = _wide_buckets(pb, bucket_cap)
+        wide = _wide_buckets(pb, bucket_cap, extra_bits)
         if not wide.isEmpty():
             pb = _extend_assign(
                 pb, points.select(point_id, vec), wide, point_id, vec,

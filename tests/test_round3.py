@@ -143,8 +143,14 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     common = dict(dim=16, n_bits=3, n_tables=4, scale=127)
     uncapped = neardup_candidate_pairs(df, bucket_cap=None, **common).count()
     capped = neardup_candidate_pairs(
-        df, bucket_cap=30, extra_bits=8, **common
+        df, bucket_cap=30, extra_bits=8, probe_flips=False, **common
     ).count()
+    probed = neardup_candidate_pairs(
+        df, bucket_cap=30, extra_bits=8, probe_flips=True, **common
+    ).count()
+    # Hamming-<=2 probing recovers more candidates than the single-key split
+    # but stays within the (1 + eb + eb(eb-1)/2) = 37x volume envelope of it
+    assert capped <= probed <= 37 * capped + uncapped // 3
     assert capped <= 20 * n, f"capped candidates {capped} > 20n"
     assert uncapped > 3 * capped, f"cap did not bite: {uncapped} vs {capped}"
 
@@ -170,6 +176,7 @@ def test_lsh_bucket_cap_matches_duckdb(spark, tmp_path):
         cosine_neardup_pairs(
             df, dim=16, threshold_num=4, threshold_den=25,
             n_bits=3, n_tables=4, scale=127, bucket_cap=20, extra_bits=8,
+            probe_flips=False,
         )
         .orderBy("id_a", "id_b")
         .collect()

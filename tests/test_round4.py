@@ -234,3 +234,100 @@ def test_capped_lsh_topk_matches_duckdb(spark, tmp_path):
     exp = duckdb.sql(sql).fetchall()
     assert got == exp
     assert len(exp) > 0
+
+
+def test_probed_neardup_selfjoin_matches_duckdb(spark, tmp_path):
+    """Cross-engine value check of the TRIGGERED multi-probe SELF-JOIN path
+    (the embed_neardup formulation): Spark cosine_neardup_pairs with a
+    biting cap and probe_flips on == DuckDB joining keyed_q (A side) against
+    keyed (B side) on the same parquet."""
+    import duckdb
+
+    from a5spark.entry_queries import _sql_lsh_keyed_ctes
+    from a5spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = _hot_cluster(n_hot=150, n_rand=50)
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    pq = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    got = [
+        (r["id_a"], r["id_b"], r["qdot"])
+        for r in cosine_neardup_pairs(
+            df, dim=16, threshold_num=4, threshold_den=25,
+            n_bits=3, n_tables=4, scale=127, bucket_cap=20, extra_bits=8,
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    ]
+    keyed = _sql_lsh_keyed_ctes(
+        n_bits=3, n_tables=4, dim=16, bucket_cap=20, extra_bits=8, probe=True
+    )
+    sql = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v
+      FROM read_parquet('{pq}/*.parquet')
+    ), n AS (
+      SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2 FROM qv
+    ), {keyed},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keyed_q a JOIN keyed b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST(list_dot_product(na.v, nb.v) AS BIGINT) AS qdot,
+             na.n2 AS n2a, nb.n2 AS n2b
+      FROM pairs p
+      JOIN n na ON na.vec_id = p.id_a
+      JOIN n nb ON nb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, qdot FROM scored
+    WHERE qdot > 0 AND qdot * qdot * 25 >= 4 * n2a * n2b
+    ORDER BY id_a, id_b
+    """
+    exp = duckdb.sql(sql).fetchall()
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_probed_neardup_pair_recall_under_cap(spark):
+    """Output-level pair recall with a biting cap: the Hamming-<=2 probe must
+    recover a strict superset of the single-key split's threshold pairs and
+    hold a measured floor of the uncapped output (the cap trades tail pairs
+    for subquadratic candidate volume; true near-dups survive)."""
+    from a5spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = _hot_cluster(n_hot=250, n_rand=80)
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    ).cache()
+    common = dict(
+        dim=16, threshold_num=4, threshold_den=25,
+        n_bits=3, n_tables=12, scale=127,
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(df, bucket_cap=None, **common).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            df, bucket_cap=30, extra_bits=6, probe_flips=False, **common
+        ).collect()
+    }
+    probed = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            df, bucket_cap=30, extra_bits=6, probe_flips=True, **common
+        ).collect()
+    }
+    assert plain <= probed <= full
+    assert len(probed) > len(plain), "probe recovered nothing over single-key"
+    recall = len(probed) / max(len(full), 1)
+    assert recall >= 0.5, f"probed pair recall {recall:.3f} under cap too low"
