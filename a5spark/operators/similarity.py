@@ -14,6 +14,16 @@ Scale notes: brute force shuffles only |Q| * k * n_batches candidate rows —
 usable while the query matrix broadcasts; the LSH path shuffles each side
 once on (bucket) and joins per bucket. JVM-side zip_with/aggregate helpers
 (dot/norm/cosine) remain for per-pair column expressions.
+
+Python-boundary policy (both directions measured at sf1): the HYPERPLANE
+BUCKET bits moved to an Arrow pandas_udf matmul (the Catalyst form chained
+144 aggregate(zip_with) expressions per row — 110 s vs <0.5 s), but the
+candidate-pair RE-RANK stays zip_with/aggregate: one flat 64-element int
+dot per already-joined row runs at ~5.6 s for 7.8M pairs JVM-side, while a
+pandas_udf einsum pays ~8 GB of Arrow transfer for the two vector columns
+and measured 4-17x SLOWER. Rule of thumb: vectorize when one row fans into
+many interpreted expressions; stay JVM-side when it's one short expression
+per row and the operands are already in the row.
 """
 
 import numpy as np
@@ -133,7 +143,7 @@ def _matmul_broadcast(
     q_ids = qpdf[query_id].to_numpy()
     q_mat = np.stack(qpdf[vec].to_numpy()).astype(np.float64)
     if quantized:
-        q_mat = np.round(q_mat * scale).astype(np.int64)
+        q_mat = _np_quantize(q_mat, scale)
     else:
         norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
         q_mat = q_mat / np.where(norms > 0, norms, 1.0)  # zero-norm -> no NaN
@@ -146,7 +156,7 @@ def _matmul_broadcast(
             p_ids = pdf[point_id].to_numpy()
             p_mat = np.stack(pdf[vec].to_numpy()).astype(np.float64)
             if quantized:
-                p_mat = np.round(p_mat * scale).astype(np.int64)
+                p_mat = _np_quantize(p_mat, scale)
             else:
                 norms = np.linalg.norm(p_mat, axis=1, keepdims=True)
                 p_mat = p_mat / np.where(norms > 0, norms, 1.0)
@@ -188,6 +198,15 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .withColumnRenamed("score", "cos_sim")
     )
+
+
+def _np_quantize(m, scale: int):
+    """round(x * scale) with HALF AWAY FROM ZERO ties — the convention of
+    Spark's F.round and DuckDB's round, so every numpy quantization in this
+    module lands on exactly the values the Catalyst `quantize` expression
+    and the oracle SQL produce (np.round would break ties half-to-EVEN)."""
+    x = np.asarray(m, dtype=np.float64) * scale
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
 def quantize(vec: Column, scale: int = 1000) -> Column:
@@ -255,8 +274,8 @@ def hyperplane_buckets(
     for 20k rows x 12 tables x 12 bits at sf1): higher-order array functions
     are interpreted per element, not codegen'd — this is the documented
     exception where a vectorized pandas_udf beats the built-in path.
-    Quantization uses np.round, matching the numpy scorer
-    (_matmul_broadcast) that the oracle-checked ann_quantized runs on.
+    Quantization uses _np_quantize (round half away from zero), exactly the
+    convention of the Catalyst quantize expression and the oracle SQL.
 
     first_bit shifts the hyperplane index range to [first_bit,
     first_bit+n_bits) — used to derive SUFFIX bands for wide-bucket
@@ -280,7 +299,7 @@ def hyperplane_buckets(
         if len(col) == 0:
             return pd.Series([], dtype=object)
         m = np.stack(col.to_numpy()).astype(np.float64)
-        q = np.round(m * scale).astype(np.int64)
+        q = _np_quantize(m, scale)
         sums = q @ S  # (batch, n_tables*n_bits)
         bits = (sums > 0).reshape(-1, n_tables, n_bits)
         out = (bits * weights).sum(axis=2).astype(np.int32)
@@ -563,20 +582,27 @@ def cosine_neardup_pairs(
     behavior). probe_flips (default on) Hamming-<=2-probes the A side of the
     split-bucket self-join so cap-induced recall loss stays on the far-tail
     pairs only — see neardup_candidate_pairs."""
+    from a5spark import cache
+
     pairs = neardup_candidate_pairs(
         df, dim, n_bits, n_tables, scale, id_col, vec, bucket_cap, extra_bits,
         probe_flips,
     )
-    qv = df.select(
-        F.col(id_col),
-        quantize(F.col(vec), scale).alias("__v"),
-    ).withColumn(
-        "__n2",
-        F.aggregate(
-            F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
+    # persisted: the per-element transform(round) quantization would
+    # otherwise be re-evaluated per candidate PAIR row on each join side
+    # (measured ~25 s for 4M pairs at sf1) instead of once per vector
+    qv = cache.persist(
+        df.select(
+            F.col(id_col),
+            quantize(F.col(vec), scale).alias("__v"),
+        ).withColumn(
+            "__n2",
+            F.aggregate(
+                F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
     )
     a_side = qv.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__na")
@@ -678,8 +704,14 @@ def lsh_bucket_topk(
         .select(query_id, point_id)
         .dropDuplicates([query_id, point_id])
     )
+    from a5spark import cache as _cache
+
     qv = queries.select(F.col(query_id), quantize(F.col(vec), scale).alias("__qv"))
-    pv = points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    # persisted so the per-element quantization runs once per point, not
+    # once per candidate pair (the broadcast materializes qv already)
+    pv = _cache.persist(
+        points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    )
     cand = (
         pairs.join(F.broadcast(qv), query_id)  # queries are the small side
         .join(pv, point_id)  # AQE picks broadcast vs shuffle for points
@@ -698,3 +730,186 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .drop("__qv", "__pv", "__t", "__bucket")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    dim: int,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    scale: int = 1000,
+    query_id: str = "q_id",
+    point_id: str = "vec_id",
+    vec: str = "embedding",
+    centroids: "list | None" = None,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+
+    1. Coarse centroids: the `n_lists` points with the smallest
+       md5-derived hash of their id (a deterministic sample — collected via
+       a map-side partial top-n, so the driver holds n_lists rows),
+       refined by `lloyd_iters` deterministic k-means (Lloyd) steps: assign
+       every point to its best centroid, replace each centroid by the
+       integer floor-mean of its members (exact — floor division is
+       expressed as (s - ((s % c) + c) % c) / c, identical in Spark and
+       DuckDB, so training stays oracle-expressible). list_id is the rank
+       in the sample order. Production replaces this with externally
+       trained centroids through the `centroids` parameter
+       ([(id, vector), ...]) and lloyd_iters=0; the deterministic default
+       keeps the whole pipeline SQL-checkable with no side channel.
+    2. Every point is assigned to its best list by exact int64 quantized
+       dot product (argmax, ties to the smallest list_id) — one Arrow
+       matmul per batch against the broadcast centroid matrix; map-only,
+       no shuffle.
+    3. Each query probes its `n_probe` best lists (same scoring) and
+       candidates come from ONE equi-join on list_id — a point lives in
+       exactly one list, so candidates need no dedup (unlike the LSH
+       multi-table union).
+    4. Exact quantized re-rank, ties by point id — the same scoring as
+       quantized_topk, so recall is measurable against it.
+
+    Candidate volume: ~|Q| * n_probe * n/n_lists. At cluster scale the
+    list_id join shuffles each side once; a skewed (hot) list is an AQE
+    skew-join case, and n_lists should grow ~sqrt(n) like any IVF index.
+    Returns (query_id, rank, point_id, qdot)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = points.sparkSession
+    if centroids is None:
+        hk = F.conv(
+            F.substring(F.md5(F.col(point_id).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        crows = (
+            points.select(F.col(point_id), F.col(vec), hk.alias("__hk"))
+            .orderBy("__hk", point_id)
+            .limit(n_lists)
+            .collect()
+        )
+        cvecs = [r[vec] for r in crows]
+    else:
+        cvecs = [v for _, v in centroids[:n_lists]]
+    if not cvecs:
+        raise ValueError("ivf_topk: no centroids (empty points?)")
+    c_mat = _np_quantize(np.array(cvecs, dtype=np.float64), scale)
+    if lloyd_iters:
+        qpts = points.select(
+            F.col(point_id), quantize(F.col(vec), scale).alias("__qv")
+        )
+        for _ in range(lloyd_iters):
+            c_mat = _lloyd_step(qpts, c_mat, point_id)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def _lister(id_name: str, top_n: int):
+        schema = StructType(
+            [StructField(id_name, LongType()), StructField("__list", IntegerType())]
+        )
+
+        def fn(batches):
+            cm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_name].to_numpy()
+                m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                q = _np_quantize(m, scale)
+                s = q @ cm.T  # (batch, n_lists) exact int64
+                # stable argsort on -score == ties to the smallest list_id,
+                # matching the oracle's ORDER BY score DESC, list_id
+                top = np.argsort(-s, axis=1, kind="stable")[:, :top_n]
+                yield pd.DataFrame(
+                    {
+                        id_name: np.repeat(ids, top.shape[1]),
+                        "__list": top.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return fn, schema
+
+    fn_a, sch_a = _lister(point_id, 1)
+    passign = points.select(F.col(point_id), F.col(vec).alias("__v")).mapInPandas(
+        fn_a, sch_a
+    )
+    fn_q, sch_q = _lister(query_id, n_probe)
+    qprobe = queries.select(F.col(query_id), F.col(vec).alias("__v")).mapInPandas(
+        fn_q, sch_q
+    )
+    from a5spark import cache as _cache
+
+    pairs = qprobe.join(passign, "__list").select(query_id, point_id)
+    qv = queries.select(F.col(query_id), quantize(F.col(vec), scale).alias("__qv"))
+    # persisted: quantization once per point, not once per candidate pair
+    pv = _cache.persist(
+        points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    )
+    cand = (
+        pairs.join(F.broadcast(qv), query_id)
+        .join(pv, point_id)
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", point_id, "qdot")
+    )
+
+
+def _lloyd_step(qpts: DataFrame, c_mat, point_id: str):
+    """One deterministic Lloyd iteration over quantized vectors: assign each
+    point to its best centroid (exact int64 argmax, ties to the smallest
+    list), then replace every centroid with the element-wise integer
+    floor-mean of its members. One matmul scan + one (list, pos) shuffle of
+    n*dim rows; the n_lists x dim result collects to the driver. Empty
+    lists keep their previous centroid. The floor-mean uses
+    (s - ((s % c) + c) % c) / c — remainder-corrected division that both
+    Spark and DuckDB evaluate identically for negative sums, keeping the
+    refined centroids oracle-expressible."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = qpts.sparkSession
+    bc = spark.sparkContext.broadcast(c_mat)
+    schema = StructType(
+        [StructField(point_id, LongType()), StructField("__list", IntegerType())]
+    )
+
+    def assign_fn(batches):
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["__qv"].to_numpy()).astype(np.int64)
+            s = q @ cm.T
+            best = np.argmax(s, axis=1)  # first max == smallest list_id
+            yield pd.DataFrame(
+                {
+                    point_id: pdf[point_id].to_numpy(),
+                    "__list": best.astype(np.int32),
+                }
+            )
+
+    assign = qpts.mapInPandas(assign_fn, schema)
+    rows = (
+        assign.join(qpts, point_id)
+        .select("__list", F.posexplode("__qv").alias("__pos", "__val"))
+        .groupBy("__list", "__pos")
+        .agg(F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    new = c_mat.copy()
+    for r in rows:
+        s, c = int(r["__s"]), int(r["__c"])
+        rem = ((s % c) + c) % c
+        new[r["__list"], r["__pos"]] = (s - rem) // c
+    return new

@@ -331,3 +331,68 @@ def test_probed_neardup_pair_recall_under_cap(spark):
     assert len(probed) > len(plain), "probe recovered nothing over single-key"
     recall = len(probed) / max(len(full), 1)
     assert recall >= 0.5, f"probed pair recall {recall:.3f} under cap too low"
+
+
+def test_ivf_topk_matches_duckdb(spark, tmp_path):
+    """Cross-engine value check of the IVF pipeline (centroid selection +
+    assignment + n_probe search + re-rank) on a clustered corpus — every
+    stage is integer arithmetic over the same md5-derived sample, so results
+    must be row-identical."""
+    import duckdb
+
+    from a5spark.operators.similarity import ivf_topk
+
+    vecs = _hot_cluster(n_hot=150, n_rand=50)
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    pq = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    q = df.filter(df.vec_id % 10 == 0).select(df.vec_id.alias("q_id"), "embedding")
+    got = [
+        (r["q_id"], r["rank"], r["vec_id"], r["qdot"])
+        for r in ivf_topk(q, df, k=3, dim=16, n_lists=8, n_probe=2, scale=127)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    from a5spark.entry_queries import _sql_ivf_ctes
+
+    sql = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127)) AS v
+      FROM read_parquet('{pq}/*.parquet')
+    ), {_sql_ivf_ctes(8, 2, 3, 16, "q.vec_id % 10 = 0")}
+    SELECT q_id, CAST(rank AS INT) AS rank, vec_id, qdot
+    FROM scored WHERE rank <= 3 ORDER BY q_id, rank
+    """
+    exp = duckdb.sql(sql).fetchall()
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_ivf_recall_vs_quantized_truth(spark):
+    """IVF recall against the brute-force quantized ground truth at a
+    realistic probe fraction (n_probe/n_lists = 1/2 on this tiny 8-list
+    index) on the hot-cluster
+    corpus (measured 0.875 with the one-step Lloyd refinement)."""
+    from a5spark.operators.similarity import ivf_topk, quantized_topk
+
+    vecs = _hot_cluster()
+    n = vecs.shape[0]
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    ).cache()
+    q = df.filter(df.vec_id % 10 == 0).select(df.vec_id.alias("q_id"), "embedding")
+    truth = {}
+    for r in quantized_topk(q, df, k=3).collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    got = {}
+    for r in ivf_topk(q, df, k=3, dim=16, n_lists=8, n_probe=4).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(len(truth[key] & got.get(key, set())) for key in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
