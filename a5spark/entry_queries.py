@@ -660,11 +660,14 @@ def oracle_minhash_lsh():
              substring(text, CAST(i AS INT), 5) AS shingle
       FROM documents,
            unnest(generate_series(1, greatest(1, length(text) - 4))) AS t(i)
+    ), hsh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
     ), mh AS (
-      SELECT doc_id, seed,
-             min(CAST(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
-      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
-      GROUP BY doc_id, seed
+      SELECT hsh.doc_id, p.seed, min((p.a * hsh.h + p.b) % 2147483647) AS minhash
+      FROM hsh CROSS JOIN (VALUES (0, 451940047, 249645783), (1, 1171012526, 653375317), (2, 1027538907, 1150717276), (3, 1179441586, 1038339061), (4, 1871381210, 1617964168), (5, 200357322, 669649390), (6, 1104202906, 996913377), (7, 680702085, 2110779854)) AS p(seed, a, b)
+      GROUP BY hsh.doc_id, p.seed
     ), bands AS (
       SELECT doc_id, seed // 4 AS band_idx,
              CAST(('0x' || substring(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15)) AS BIGINT) AS band_hash
@@ -1075,11 +1078,14 @@ def oracle_jaccard_verify():
       SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS shingle
       FROM documents,
            unnest(generate_series(1, greatest(1, length(text) - 4))) AS t(i)
+    ), hsh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
     ), mh AS (
-      SELECT doc_id, seed,
-             min(CAST(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
-      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
-      GROUP BY doc_id, seed
+      SELECT hsh.doc_id, p.seed, min((p.a * hsh.h + p.b) % 2147483647) AS minhash
+      FROM hsh CROSS JOIN (VALUES (0, 451940047, 249645783), (1, 1171012526, 653375317), (2, 1027538907, 1150717276), (3, 1179441586, 1038339061), (4, 1871381210, 1617964168), (5, 200357322, 669649390), (6, 1104202906, 996913377), (7, 680702085, 2110779854)) AS p(seed, a, b)
+      GROUP BY hsh.doc_id, p.seed
     ), bands AS (
       SELECT doc_id, seed // 4 AS band_idx,
              CAST(('0x' || substring(md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)), 1, 15)) AS BIGINT) AS band_hash
@@ -1088,13 +1094,17 @@ def oracle_jaccard_verify():
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), shd AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+      FROM sh
     ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
     ), inter AS (
       SELECT p.id_a, p.id_b, count(*) AS n_inter
       FROM pairs p
-      JOIN sh a ON a.doc_id = p.id_a
-      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      JOIN shd a ON a.doc_id = p.id_a
+      JOIN shd b ON b.doc_id = p.id_b AND b.shingle = a.shingle
       GROUP BY p.id_a, p.id_b
     )
     SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,

@@ -110,12 +110,25 @@ def run_partitioned(
     COMMIT unit, not a parallelism unit; within one part the full cluster
     parallelism applies.
     """
+    import hashlib
+
     spark = df.sparkSession
     mfs, mpath, _ = _fs(spark, os.path.join(out_dir, "_manifest"))
     mfs.mkdirs(mpath)
     done = committed_partitions(out_dir, spark)
     todo = [p for p in range(n_parts) if p not in done]
     staged = with_partition(df, key, n_parts)
+    # input lineage once per run: the scan's file set, recorded as a count +
+    # order-insensitive digest (the full listing can be millions of paths at
+    # cluster scale — the digest still pins exactly which inputs produced
+    # each committed partition)
+    in_files = sorted(df.inputFiles())
+    lineage = {
+        "source": key,
+        "n_parts": n_parts,
+        "n_input_files": len(in_files),
+        "input_digest": hashlib.md5("\n".join(in_files).encode()).hexdigest(),
+    }
     total_rows = 0
     t_start = time.time()
     for i in range(0, len(todo), batch_parts):
@@ -152,19 +165,26 @@ def run_partitioned(
         counts = {}
         if batch_dirs:
             counts = {
-                r["part"]: r["n"]
+                r["part"]: (r["n"], r["kmin"], r["kmax"])
                 for r in spark.read.option("basePath", path)
                 .parquet(*batch_dirs)
                 .groupBy("part")
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(key).alias("kmin"),
+                    F.max(key).alias("kmax"),
+                )
                 .collect()
             }
         for p in batch:
+            n, kmin, kmax = counts.get(p, (0, None, None))
             entry = {
                 "part": p,
-                "rows": int(counts.get(p, 0)),
+                "rows": int(n),
+                "min_key": kmin,
+                "max_key": kmax,
                 "status": "committed",
-                "lineage": {"source": key, "n_parts": n_parts},
+                "lineage": lineage,
                 "wall_sec": round(time.time() - t_start, 3),
             }
             _write_text(
