@@ -1599,7 +1599,11 @@ def q_knn_images(spark, sf_dir):
     from a5spark.operators.knn import knn_join
     from a5spark.operators.spatial import assign_cells
 
-    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 5))
+    # res 7 index: the cap accounting adds one query-cell radius, so a
+    # coarse index floors every round at ~cell_rad(5)=147 km no matter how
+    # tight the density-adaptive radius gets; 37 km cells keep round-1
+    # candidate volume ~density * (r + accounting)^2 small on dense tables
+    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
     queries = img.filter(F.col("k") % 200 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
@@ -1608,7 +1612,7 @@ def q_knn_images(spark, sf_dir):
     # equidistant, where raw-double ranking is libm-ULP noise that differs
     # between Spark and DuckDB — quantize, then break ties by image_id
     out = knn_join(
-        queries, pts, k=5, resolution=5, point_id="image_id", tie_quantum_decimals=6
+        queries, pts, k=5, resolution=7, point_id="image_id", tie_quantum_decimals=6
     )
     return out.select(
         "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")

@@ -22,20 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from a5spark.functions.native import _shl, _shru
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ahead of a row-exploding transform when the input has
-    fewer partitions than the cluster has slots. A small-file source (one
-    parquet footer) otherwise pins the whole explode + hash + aggregate
-    chain to ONE task — measured 30 s single-threaded vs ~3 s spread at sf1
-    for the minhash signature stage. The shuffle moved is the COMPACT
-    pre-explode relation (docs), never the exploded rows; at cluster scale
-    real inputs arrive in many splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+from a5spark.operators.util import spread as _spread
 
 
 def content_digest(col) -> Column:

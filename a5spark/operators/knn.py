@@ -230,6 +230,7 @@ def knn_join(
     growth: float = 4.0,
     max_rounds: int = 8,
     tie_quantum_decimals: int | None = None,
+    points_count: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest points for each query row.
 
@@ -255,7 +256,25 @@ def knn_join(
     if resolution is None:
         raise ValueError("knn_join requires the index resolution")
     cell_rad = estimate_cell_radius(resolution)
-    r = float(initial_radius or 4.0 * cell_rad)
+    if initial_radius is not None:
+        r = float(initial_radius)
+    else:
+        # density-adaptive round-1 radius: the cap holding ~4k expected
+        # neighbors has r = 4R*sqrt(k/n) (small-cap area ~ pi r^2 over
+        # 4 pi R^2 of sphere). The historic fixed 4*cell_rad floods dense
+        # tables — at 1.5M points / res 5 it admits ~3.2k candidates per
+        # query in round 1 where ~20 suffice (the schedule only affects
+        # cost, never results: every round's emit is exactness-guarded).
+        # Floored at cell_rad since the cap accounting adds cell_rad anyway;
+        # points.count() is one cheap (often metadata-only) job, skipped
+        # when the caller passes points_count.
+        from a5spark.kernels.constants import AUTHALIC_RADIUS_EARTH
+
+        n_pts = points_count if points_count is not None else points.count()
+        r_density = 4.0 * AUTHALIC_RADIUS_EARTH * math.sqrt(
+            max(k, 1) / float(max(n_pts, 1))
+        )
+        r = float(max(cell_rad, min(r_density, _EARTH_COVER_M)))
 
     radii = []
     for _ in range(max_rounds - 1):

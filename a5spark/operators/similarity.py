@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from a5spark.operators.dedup import content_digest
+from a5spark.operators.util import spread as _spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -173,7 +174,7 @@ def _matmul_broadcast(
                     out_s.extend(scores[qi, sel])
             yield pd.DataFrame({query_id: out_q, point_id: out_p, "score": out_s})
 
-    return points.select(point_id, vec).mapInPandas(score, schema_out)
+    return _spread(points.select(point_id, vec)).mapInPandas(score, schema_out)
 
 
 def brute_force_topk(
@@ -504,6 +505,7 @@ def neardup_candidate_pairs(
     2^-12-scale collapse without probing."""
     from a5spark import cache
 
+    df = _spread(df)
     assign = df.select(
         F.col(id_col),
         F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
@@ -667,6 +669,7 @@ def lsh_bucket_topk(
     # n_tables-fold — shipping vectors through it would multiply shuffle
     # bytes); vectors join back onto the deduped pairs, quantized once per
     # input row
+    points = _spread(points)
     qb = queries.select(
         F.col(query_id),
         F.posexplode(hyperplane_buckets(F.col(vec), dim, n_bits, n_tables, scale)).alias(
@@ -724,11 +727,14 @@ def lsh_bucket_topk(
             ),
         )
     )
+    # project the vectors away BEFORE the ranking window: row_number
+    # shuffles every candidate row, and carrying two dim-length arrays
+    # through that exchange is ~1 KB/row of dead weight (4 GB at sf1)
+    cand = cand.select(query_id, point_id, "qdot")
     w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("__qv", "__pv", "__t", "__bucket")
     )
 
 
@@ -795,6 +801,11 @@ def ivf_topk(
     if not cvecs:
         raise ValueError("ivf_topk: no centroids (empty points?)")
     c_mat = _np_quantize(np.array(cvecs, dtype=np.float64), scale)
+    # spread: a single-split points source would otherwise pin Lloyd,
+    # assignment, the bucket join AND the whole scoring pipeline (broadcast
+    # joins keep the probe side's partitioning) to one task — measured 36 s
+    # of the sf1 query in ONE task before this
+    points = _spread(points)
     if lloyd_iters:
         qpts = points.select(
             F.col(point_id), quantize(F.col(vec), scale).alias("__qv")
@@ -857,6 +868,8 @@ def ivf_topk(
             ),
         )
     )
+    # vectors projected away before the ranking window (see lsh_bucket_topk)
+    cand = cand.select(query_id, point_id, "qdot")
     w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -869,42 +882,55 @@ def _lloyd_step(qpts: DataFrame, c_mat, point_id: str):
     """One deterministic Lloyd iteration over quantized vectors: assign each
     point to its best centroid (exact int64 argmax, ties to the smallest
     list), then replace every centroid with the element-wise integer
-    floor-mean of its members. One matmul scan + one (list, pos) shuffle of
-    n*dim rows; the n_lists x dim result collects to the driver. Empty
-    lists keep their previous centroid. The floor-mean uses
-    (s - ((s % c) + c) % c) / c — remainder-corrected division that both
-    Spark and DuckDB evaluate identically for negative sums, keeping the
-    refined centroids oracle-expressible."""
+    floor-mean of its members. Assignment AND the per-list component sums
+    are fused into one Arrow pass (each batch emits n_lists x dim partial
+    (sum, count) rows — no per-point explode, no join back); the shuffle is
+    the tiny partial-sum relation and the n_lists x dim result collects to
+    the driver. Empty lists keep their previous centroid. The floor-mean
+    uses (s - ((s % c) + c) % c) / c — remainder-corrected division that
+    both Spark and DuckDB evaluate identically for negative sums, keeping
+    the refined centroids oracle-expressible."""
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     spark = qpts.sparkSession
     bc = spark.sparkContext.broadcast(c_mat)
     schema = StructType(
-        [StructField(point_id, LongType()), StructField("__list", IntegerType())]
+        [
+            StructField("__list", IntegerType()),
+            StructField("__pos", IntegerType()),
+            StructField("__s", LongType()),
+            StructField("__c", LongType()),
+        ]
     )
 
-    def assign_fn(batches):
+    def partials(batches):
         cm = bc.value
+        n_lists, dim = cm.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q = np.stack(pdf["__qv"].to_numpy()).astype(np.int64)
-            s = q @ cm.T
-            best = np.argmax(s, axis=1)  # first max == smallest list_id
+            best = np.argmax(q @ cm.T, axis=1)  # first max == smallest list
+            sums = np.zeros((n_lists, dim), dtype=np.int64)
+            np.add.at(sums, best, q)
+            cnt = np.bincount(best, minlength=n_lists).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            if len(nz) == 0:
+                continue
             yield pd.DataFrame(
                 {
-                    point_id: pdf[point_id].to_numpy(),
-                    "__list": best.astype(np.int32),
+                    "__list": np.repeat(nz, dim).astype(np.int32),
+                    "__pos": np.tile(np.arange(dim), len(nz)).astype(np.int32),
+                    "__s": sums[nz].reshape(-1),
+                    "__c": np.repeat(cnt[nz], dim),
                 }
             )
 
-    assign = qpts.mapInPandas(assign_fn, schema)
     rows = (
-        assign.join(qpts, point_id)
-        .select("__list", F.posexplode("__qv").alias("__pos", "__val"))
+        qpts.mapInPandas(partials, schema)
         .groupBy("__list", "__pos")
-        .agg(F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum("__s").alias("__s"), F.sum("__c").alias("__c"))
         .collect()
     )
     new = c_mat.copy()
