@@ -437,15 +437,28 @@ def _sql_cover6(seed: str, threshold: int, full_q: int) -> str:
     """
 
 
-def _spark_cover6(spark, li, seed: str, threshold: int, full_q: int):
+def _spark_cover_qs(li):
+    """Distinct (q, s) base of the synthetic covers — the ONE lineitem scan
+    both covers (and both md5 predicates) derive from. A cover cell depends
+    only on (q, s) = (orderkey % 30, row-digest % 256), at most 7,680
+    combinations: reducing to the distinct pairs FIRST turns the per-row
+    work into one md5 (the s digest) and moves the per-cover keep digest
+    onto the tiny distinct relation instead of the fact table (previously
+    each cover paid its own full scan + two md5s per row — 2 scans and
+    ~24M md5 evaluations at sf1 for what one scan and 6M + 15k does)."""
     k = F.col("l_orderkey")
     digest = F.conv(
         F.substring(F.md5(F.concat(F.lit("k|"), k.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
-    q = (k % 30).cast("long")
-    s = digest % 256
+    return li.select(
+        (k % 30).cast("long").alias("__q"), (digest % 256).alias("__s")
+    ).distinct()
+
+
+def _spark_cover6(spark, qs, seed: str, threshold: int, full_q: int):
+    q, s = F.col("__q"), F.col("__s")
     cell_digest = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{seed}|"), (q * 256 + s).cast("string"))), 1, 15
@@ -459,7 +472,7 @@ def _spark_cover6(spark, li, seed: str, threshold: int, full_q: int):
         + native._shl(s, F.lit(48))
         + native._shl(F.lit(1), F.lit(47))
     )
-    rand_part = li.filter(keep).select(cell.alias("cell"))
+    rand_part = qs.filter(keep).select(cell.alias("cell"))
     full = spark.range(256).select(
         (
             native._shl(F.lit(full_q), F.lit(58))
@@ -526,7 +539,9 @@ def q_compact_cover(spark, sf_dir):
     a5/core/compact.py:69-142) against a pure-SQL collapse chain."""
     from a5spark.operators.spatial import compact_cover
 
-    cells = _spark_cover6(spark, _t(spark, sf_dir, "lineitem"), "a", 88, 3)
+    cells = _spark_cover6(
+        spark, _spark_cover_qs(_t(spark, sf_dir, "lineitem")), "a", 88, 3
+    )
     out = compact_cover(cells, resolution_bounds=(6, 6))
     return (
         out.groupBy(native.cell_resolution(F.col("cell")).alias("resolution"))
@@ -560,11 +575,13 @@ def q_cover_set_ops(spark, sf_dir):
     from a5spark import cache
 
     li = _t(spark, sf_dir, "lineitem")
-    # persist both covers: uncompact_cover references its input twice
-    # (hilbert/low regime branches), so an unpersisted cover would re-run
-    # the distinct-over-lineitem scan per branch — 8x the source reads
-    a = cache.persist(_spark_cover6(spark, li, "a", 88, 3))
-    b = cache.persist(_spark_cover6(spark, li, "b", 60, 4))
+    # ONE persisted lineitem scan feeds both covers (the per-cover keep
+    # digests run on the tiny distinct (q, s) relation); the covers stay
+    # persisted too since uncompact_cover references its input twice
+    # (hilbert/low regime branches)
+    qs = cache.persist(_spark_cover_qs(li))
+    a = cache.persist(_spark_cover6(spark, qs, "a", 88, 3))
+    b = cache.persist(_spark_cover6(spark, qs, "b", 60, 4))
     # tag every cell of a (outer-join) b with the set ops it belongs to, then
     # run ONE compact descent partitioned by op (group_cols) — a third of the
     # stages of three separate compacts, identical results

@@ -28,6 +28,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (notably: coalesce tiny shuffle partitions) on TOP
+        # of cached plans — the compact/cover operators persist cover-sized
+        # frames, and without this every post-shuffle kernel-UDF stage runs
+        # at full spark.sql.shuffle.partitions width over ~KB of data, each
+        # task paying a Python-worker round-trip (~0.7 s/task measured on
+        # this host; compact_cover spent 180 s of executor time at <1% CPU)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
