@@ -23,6 +23,7 @@ AUDIT = [
     "minhash_lsh",
     "ann_quantized",
     "ann_lsh",
+    "ann_ivf",
     "compact_cover",
     "cover_set_ops",
     "tile_pyramid",
