@@ -2240,6 +2240,72 @@ def oracle_image_resize():
     """
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame-sampling value gate: synthetic raw videos (fmt 'rawv8',
+    4-8 concatenated rgb8 frames), every 2nd frame sampled by
+    operators/multimodal.sample_frames (frame count derived from the
+    payload length — real data-plane work), then integer checksums of each
+    sampled frame's decoded pixels via the unchanged image_checksums
+    operator. DuckDB reproduces every value from the closed-form per-frame
+    byte pattern — the video -> frames -> per-frame features pipeline is
+    value-gated end-to-end (container codecs remain an env stub)."""
+    from a5spark.operators.multimodal import image_checksums, sample_frames
+    from a5spark.sources.images import _gen_video_bytes
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    vids = (
+        orders.filter(k % 150 == 0)
+        .select(
+            k.alias("k"),
+            F.format_string("vid_%012d", k).alias("video_id"),
+            (F.lit(32) + (k % 8) * 8).cast("int").alias("w"),
+            (F.lit(32) + (k % 5) * 8).cast("int").alias("h"),
+            (F.lit(4) + k % 5).cast("int").alias("n_frames"),
+        )
+        .withColumn(
+            "bytes",
+            _gen_video_bytes(F.col("k"), F.col("w"), F.col("h"), F.col("n_frames")),
+        )
+        .withColumn("fmt", F.lit("rawv8"))
+    )
+    frames = sample_frames(vids, every_n=2)
+    per_frame = frames.select(
+        F.format_string("%s#%02d", F.col("video_id"), F.col("frame_idx")).alias(
+            "image_id"
+        ),
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+    )
+    return image_checksums(per_frame).orderBy("image_id")
+
+
+def oracle_video_frames():
+    return """
+    WITH vid AS (
+      SELECT o_orderkey AS k, printf('vid_%012d', o_orderkey) AS video_id,
+             CAST(32 + (o_orderkey % 8) * 8 AS BIGINT) AS w,
+             CAST(32 + (o_orderkey % 5) * 8 AS BIGINT) AS h,
+             4 + o_orderkey % 5 AS n_frames
+      FROM orders WHERE o_orderkey % 150 = 0
+    ), frames AS (
+      SELECT video_id, w, h, f.f AS frame_idx,
+             (k * 31 + f.f * 7) % 251 + 1 AS a,
+             (k + f.f * 131) % 65521 AS b
+      FROM vid, unnest(generate_series(0, n_frames - 1)) AS f(f)
+      WHERE f.f % 2 = 0
+    )
+    SELECT printf('%s#%02d', video_id, frame_idx) AS image_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN (i * a + b) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum((i * a + b) % 256) AS BIGINT) AS sum_all
+    FROM frames, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+    GROUP BY 1 ORDER BY image_id
+    """
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster tile pyramid keyed by pentagon cell at res 4/5. The res-8
     assignment is snapshot to parquet; the oracle independently rolls up the
@@ -2317,6 +2383,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
+    "video_frames": q_video_frames,
     "tile_pyramid": q_tile_pyramid,
 }
 
@@ -2366,6 +2433,7 @@ ORACLES = {
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
+    "video_frames": oracle_video_frames(),
     "image_stats": oracle_image_stats(),
     "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),

@@ -396,3 +396,34 @@ def test_ivf_recall_vs_quantized_truth(spark):
     total = sum(len(v) for v in truth.values())
     recall = hits / total
     assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
+
+
+def test_sample_frames_rawv8_and_codec_stub(spark):
+    """sample_frames: rawv8 payloads decode for real (frame count from the
+    byte length, every_n stride, rgb8 rows consumable by image operators);
+    container formats raise the documented codec stub inside the kernel."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from a5spark.operators.multimodal import decode_image, sample_frames
+
+    w, h, n_frames = 4, 3, 7
+    frame = bytes(range(w * h * 3))
+    payload = b"".join(bytes((b + f) % 256 for b in frame) for f in range(n_frames))
+    df = spark.createDataFrame(
+        [("v0", payload, w, h, "rawv8")],
+        ["video_id", "bytes", "w", "h", "fmt"],
+    )
+    rows = sample_frames(df, every_n=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    for r in rows:
+        px = decode_image(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        assert px.shape == (h, w, 3)
+        assert px.reshape(-1)[0] == r["frame_idx"] % 256
+
+    bad = spark.createDataFrame(
+        [("v1", b"\x00" * 36, w, h, "mp4")],
+        ["video_id", "bytes", "w", "h", "fmt"],
+    )
+    with _pytest.raises(Exception, match="codec"):
+        sample_frames(bad).collect()
