@@ -2306,6 +2306,60 @@ def oracle_video_frames():
     """
 
 
+def q_audio_features(spark, sf_dir):
+    """Windowed audio-feature extraction value gate: synthetic PCM16 clips
+    (2000-5000 samples), per-1024-sample windows of integer energy,
+    zero-crossing count and absolute peak via
+    operators/multimodal.audio_features — all int64, reproduced closed-form
+    by DuckDB (codec formats remain an env stub inside the same kernel)."""
+    from a5spark.operators.multimodal import audio_features
+    from a5spark.sources.images import _gen_audio_bytes
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    clips = (
+        orders.filter(k % 200 == 0)
+        .select(
+            k.alias("k"),
+            F.format_string("aud_%012d", k).alias("audio_id"),
+            (F.lit(2000) + (k % 7) * 500).cast("long").alias("n_samples"),
+        )
+        .withColumn("bytes", _gen_audio_bytes(F.col("k"), F.col("n_samples")))
+        .withColumn("fmt", F.lit("pcm16"))
+    )
+    return audio_features(clips, window_samples=1024).orderBy(
+        "audio_id", "win_idx"
+    )
+
+
+def oracle_audio_features():
+    return """
+    WITH aud AS (
+      SELECT o_orderkey AS k, printf('aud_%012d', o_orderkey) AS audio_id,
+             2000 + (o_orderkey % 7) * 500 AS n
+      FROM orders WHERE o_orderkey % 200 = 0
+    ), samples AS (
+      SELECT audio_id, t.t AS t,
+             ((k * 97 + t.t * 31 + 7) % 65536) - 32768 AS v
+      FROM aud, unnest(generate_series(0, n - 1)) AS t(t)
+    ), nxt AS (
+      SELECT audio_id, t, v,
+             lead(v) OVER (PARTITION BY audio_id ORDER BY t) AS vn
+      FROM samples
+    )
+    SELECT audio_id, CAST(t // 1024 AS BIGINT) AS win_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN vn IS NOT NULL AND t % 1024 != 1023
+                          AND v * vn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM nxt
+    GROUP BY audio_id, t // 1024
+    ORDER BY audio_id, win_idx
+    """
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster tile pyramid keyed by pentagon cell at res 4/5. The res-8
     assignment is snapshot to parquet; the oracle independently rolls up the
@@ -2384,6 +2438,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
     "video_frames": q_video_frames,
+    "audio_features": q_audio_features,
     "tile_pyramid": q_tile_pyramid,
 }
 
@@ -2434,6 +2489,7 @@ ORACLES = {
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),
     "video_frames": oracle_video_frames(),
+    "audio_features": oracle_audio_features(),
     "image_stats": oracle_image_stats(),
     "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),

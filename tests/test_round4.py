@@ -427,3 +427,31 @@ def test_sample_frames_rawv8_and_codec_stub(spark):
     )
     with _pytest.raises(Exception, match="codec"):
         sample_frames(bad).collect()
+
+
+def test_audio_features_pcm16_and_codec_stub(spark):
+    """audio_features: PCM16 windows verified against a hand-computed clip
+    (energy / zero crossings / peak / trailing partial window); codec
+    formats raise the documented stub inside the kernel."""
+    import numpy as np
+    import pytest as _pytest
+
+    from a5spark.operators.multimodal import audio_features
+
+    x = np.array([100, -200, 300, 0, -5, 6, 7, -8, 9, 10], dtype="<i2")
+    df = spark.createDataFrame(
+        [("a0", x.tobytes(), "pcm16")], ["audio_id", "bytes", "fmt"]
+    )
+    rows = {r["win_idx"]: r for r in audio_features(df, window_samples=4).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    w0 = rows[0]
+    assert w0["n_samples"] == 4
+    assert w0["energy"] == 100**2 + 200**2 + 300**2 + 0
+    assert w0["zero_crossings"] == 2  # 100,-200 and -200,300; 300,0 is not strict
+    assert w0["peak"] == 300
+    w2 = rows[2]  # trailing partial window [9, 10]
+    assert w2["n_samples"] == 2 and w2["energy"] == 81 + 100 and w2["zero_crossings"] == 0
+
+    bad = spark.createDataFrame([("a1", b"\x00" * 8, "mp3")], ["audio_id", "bytes", "fmt"])
+    with _pytest.raises(Exception, match="codec"):
+        audio_features(bad).collect()
