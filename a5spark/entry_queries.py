@@ -1222,9 +1222,12 @@ def oracle_ann_quantized():
 
 def q_ann_cosine(spark, sf_dir):
     """Float cosine brute-force top-5, oracle-ranked on the MICRO-COSINE:
-    candidates come from the float scorer with a 3-slot buffer (top-8 per
-    query, so micro-vs-float rank inversions inside one 1e-6 bucket cannot
-    drop a true top-5 row), then the final rank is row_number over
+    candidates come from the float scorer with a 19-slot buffer (top-24 per
+    query — the float order can only disagree with the micro order INSIDE a
+    1e-6 bucket, so the true micro top-5 is preserved unless more than 19
+    extra rows share the rank-5 boundary bucket; duplicate clusters in the
+    corpus are far smaller, and the margin costs ~nothing since candidates
+    are per-batch top-k rows only), then the final rank is row_number over
     (round(cos * 1e6) DESC, vec_id ASC) — a deterministic integer ordering
     both engines compute identically. ROUND, not floor: exact-duplicate
     pairs score cos = 1.0 ± 1e-14 — precisely a truncation grid line, which
@@ -1239,7 +1242,7 @@ def q_ann_cosine(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
-    cand = brute_force_topk(queries, emb, k=8).withColumn(
+    cand = brute_force_topk(queries, emb, k=24).withColumn(
         "cos_micro", F.round(F.col("cos_sim") * 1e6).cast("long")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))

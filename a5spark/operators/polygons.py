@@ -130,6 +130,7 @@ def point_in_polygon_join(
 # pip_refine call share one epoch, and entries are dropped once they fall
 # two calls behind.
 _PREP_CACHE: dict = {}
+_PREP_CACHE_MAX = 50_000  # prepared polygons resident per Python worker
 _REFINE_EPOCH = 0
 
 
@@ -251,6 +252,14 @@ def _pip_refine_collected(
                     # immediately-preceding call never thrash each other
                     for stale in [k for k in _PREP_CACHE if k[0] < bid - 1]:
                         _PREP_CACHE.pop(stale, None)
+                    # size backstop: one shared epoch across a huge layer's
+                    # chunks would otherwise accumulate the WHOLE layer in
+                    # every long-lived worker (a 10^6-polygon call would
+                    # trade the old driver OOM for a worker OOM). Beyond the
+                    # cap, drop the cache wholesale — an occasional re-prepare
+                    # is cheap; unbounded residency is not.
+                    if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+                        _PREP_CACHE.clear()
                     prep = _prepare_rings(bc.value[pid])
                     _PREP_CACHE[key] = prep
                 keep[idx] = point_in_prepared_polygon(pts[idx], prep)

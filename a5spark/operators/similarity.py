@@ -130,10 +130,11 @@ def _matmul_broadcast(
         StructType,
     )
 
+    # id types follow the callers' columns (string ids are valid keys)
     schema_out = StructType(
         [
-            StructField(query_id, LongType()),
-            StructField(point_id, LongType()),
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(point_id, points.schema[point_id].dataType),
             StructField("score", DoubleType() if not quantized else LongType()),
         ]
     )
@@ -418,6 +419,20 @@ def _extend_assign(
 
     Returns (id_col, __t, __bucket) with refined (long) keys (multi-probe
     rows may repeat per flip — downstream joins dedup pairs)."""
+    joined, eb_needed = _refined_rows(
+        assign, vectors, wide, id_col, vec, dim, n_bits, n_tables, scale,
+        extra_bits,
+    )
+    return _refined_keys(joined, id_col, n_bits, eb_needed, probe_flips)
+
+
+def _refined_rows(
+    assign, vectors, wide, id_col, vec, dim, n_bits, n_tables, scale, extra_bits
+):
+    """Shared refinement relation (id, __t, __bucket, __wide, __web,
+    __suffix) + the evaluated suffix width — the expensive part of
+    _extend_assign, factored out so a caller needing BOTH the plain and the
+    probed key sets of the SAME assignment evaluates it once."""
     # the deepest split any bucket demands decides how many suffix
     # hyperplanes to evaluate (one tiny job on the broadcast-sized `wide`);
     # per-bucket keys then mask their suffix down to that bucket's own depth
@@ -436,7 +451,10 @@ def _extend_assign(
             )
         ).alias("__t", "__suffix"),
     )
-    joined = marked.join(suffixes, [id_col, "__t"], "left")
+    return marked.join(suffixes, [id_col, "__t"], "left"), eb_needed
+
+
+def _refined_keys(joined, id_col, n_bits, eb_needed, probe_flips):
     depth_limit = F.expr("shiftleft(CAST(1 AS BIGINT), __web)")
     masked = F.pmod(F.col("__suffix").cast("long"), depth_limit)
     if probe_flips:
@@ -521,7 +539,16 @@ def neardup_candidate_pairs(
         assign_a = assign
         wide = _wide_buckets(assign, bucket_cap, extra_bits)
         if not wide.isEmpty():  # one tiny probe job; skips the whole
-            # refinement layer when no bucket is hot (the common case)
+            # refinement layer when no bucket is hot (the common case).
+            # The plain and probed key sets are built as two INDEPENDENT
+            # _extend_assign passes on purpose: a "share one persisted
+            # refinement relation, project both key sets" variant was
+            # measured 1.7x SLOWER end-to-end at sf1 (22.6 -> 37+ s) — the
+            # join sides stop being skinny cached relations and the
+            # downstream self-join + scoring plan degrades, while the work
+            # actually duplicated (one vectorized suffix matmul over the
+            # wide-bucket rows + a broadcast of `wide`) costs well under a
+            # second.
             assign = cache.persist(
                 _extend_assign(
                     assign, df.select(id_col, vec), wide, id_col, vec,
@@ -814,9 +841,11 @@ def ivf_topk(
             c_mat = _lloyd_step(qpts, c_mat, point_id)
     bc = spark.sparkContext.broadcast(c_mat)
 
-    def _lister(id_name: str, top_n: int):
+    def _lister(id_name: str, top_n: int, id_type):
+        # the id type follows the caller's column (string image ids are as
+        # valid as numeric vec ids — nothing in IVF needs numeric keys)
         schema = StructType(
-            [StructField(id_name, LongType()), StructField("__list", IntegerType())]
+            [StructField(id_name, id_type), StructField("__list", IntegerType())]
         )
 
         def fn(batches):
@@ -840,11 +869,11 @@ def ivf_topk(
 
         return fn, schema
 
-    fn_a, sch_a = _lister(point_id, 1)
+    fn_a, sch_a = _lister(point_id, 1, points.schema[point_id].dataType)
     passign = points.select(F.col(point_id), F.col(vec).alias("__v")).mapInPandas(
         fn_a, sch_a
     )
-    fn_q, sch_q = _lister(query_id, n_probe)
+    fn_q, sch_q = _lister(query_id, n_probe, queries.schema[query_id].dataType)
     qprobe = queries.select(F.col(query_id), F.col(vec).alias("__v")).mapInPandas(
         fn_q, sch_q
     )

@@ -14,6 +14,8 @@ def spread(df: DataFrame) -> DataFrame:
     arbitrarily far). The shuffle moved is the COMPACT pre-fan-out
     relation, never the expanded rows; at cluster scale real inputs arrive
     in many splits and this is a no-op."""
+    if df.isStreaming:  # .rdd is undefined for streaming plans; streams
+        return df  # get their parallelism from the source/shuffle config
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -178,11 +178,18 @@ def run_partitioned(
             }
         for p in batch:
             n, kmin, kmax = counts.get(p, (0, None, None))
+            # keys may be timestamps/dates/decimals (valid partition keys);
+            # stringify anything json.dumps can't take natively, or the
+            # manifest write would crash AFTER the data write and force
+            # every resume to recompute the batch
+            def _j(v):
+                return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
             entry = {
                 "part": p,
                 "rows": int(n),
-                "min_key": kmin,
-                "max_key": kmax,
+                "min_key": _j(kmin),
+                "max_key": _j(kmax),
                 "status": "committed",
                 "lineage": lineage,
                 "wall_sec": round(time.time() - t_start, 3),

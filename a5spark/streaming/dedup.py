@@ -19,6 +19,12 @@ watermark drops its state, so a later replica becomes a NEW canonical —
 state is O(#digests active within one TTL window), the standard
 sliding-window relaxation of exact dedup. `streaming_dedup` (no event time)
 keeps NoTimeout and unbounded state.
+
+Upgrade note: round 4 changed the group key from (digest) to the composite
+(digest, is_null_text) — a state-store KEY SCHEMA change. A stream resuming
+from a pre-change checkpointLocation will abort with a state schema
+incompatibility; restart with a fresh checkpoint (the canonical mapping
+re-bootstraps from the first post-restart arrivals).
 """
 
 import pandas as pd
@@ -67,8 +73,25 @@ def _make_dedup_fn(ttl_ms: int | None = None):
         n += len(ids)
         state.update((int(canon), int(n)))
         if ttl_ms is not None:
-            last_ms = int(rows["ts"].astype("int64").max()) // 1_000_000
-            state.setTimeoutTimestamp(last_ms + ttl_ms)
+            # NaT (NULL event time) must not poison the max: astype(int64)
+            # turns NaT into -2^63, which would arm a hugely negative
+            # timeout and crash the micro-batch. Rows that are all-NULL on
+            # ts fall back to the current watermark.
+            ts = rows["ts"].dropna()
+            last_ms = (
+                int(ts.astype("int64").max()) // 1_000_000
+                if len(ts)
+                else state.getCurrentWatermarkMs()
+            )
+            # setTimeoutTimestamp raises (killing the whole stream) for a
+            # timestamp at or below the current watermark — reachable when
+            # a row within allowed lateness arrives more than ttl behind
+            # the watermark, or when ttl < watermark delay. Clamp to just
+            # past the watermark: the state then times out at the next
+            # watermark advance, the correct semantics for an entry whose
+            # TTL has already elapsed in event time.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
         return iter(
             [
                 pd.DataFrame(

@@ -455,3 +455,23 @@ def test_audio_features_pcm16_and_codec_stub(spark):
     bad = spark.createDataFrame([("a1", b"\x00" * 8, "mp3")], ["audio_id", "bytes", "fmt"])
     with _pytest.raises(Exception, match="codec"):
         audio_features(bad).collect()
+
+
+def test_ann_operators_accept_string_ids(spark):
+    """ivf_topk and quantized_topk must work with STRING ids (the images
+    table keys by image_id strings) — output id types follow the inputs."""
+    import numpy as np
+
+    from a5spark.operators.similarity import ivf_topk, quantized_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(f"img_{i:04d}", vecs[i].tolist()) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    q = df.limit(5).select(df.vec_id.alias("q_id"), "embedding")
+    out1 = ivf_topk(q, df, k=2, dim=8, n_lists=4, n_probe=2).collect()
+    out2 = quantized_topk(q, df, k=2).collect()
+    assert len(out1) == 10 and all(isinstance(r["vec_id"], str) for r in out1)
+    assert len(out2) == 10 and all(isinstance(r["vec_id"], str) for r in out2)
