@@ -28,12 +28,23 @@ def persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def _release(frames: list[DataFrame]) -> int:
+def register_broadcast(bc):
+    """Register a SparkContext Broadcast handle in the innermost scope; it is
+    destroy()ed with the scope so long-lived sessions (bench loops, services)
+    don't accumulate broadcast blocks on the driver/executors."""
+    _SCOPES[-1].append(bc)
+    return bc
+
+
+def _release(frames: list) -> int:
     n = 0
     while frames:
-        df = frames.pop()
+        obj = frames.pop()
         try:
-            df.unpersist()
+            if isinstance(obj, DataFrame):
+                obj.unpersist()
+            else:  # Broadcast handle
+                obj.destroy()
             n += 1
         except Exception:
             pass

@@ -332,9 +332,9 @@ _AUDIO_SCHEMA = StructType(
 def audio_features(df: DataFrame, window_samples: int = 1024) -> DataFrame:
     """Windowed audio features over an opaque binary column: per window of
     `window_samples` samples, the integer energy (sum of squares), the
-    zero-crossing count (sign-change pairs; a zero sample carries the
-    previous sign, the strict-product-negative convention) and the absolute
-    peak. The raw 'pcm16' format (little-endian int16 mono) decodes for
+    zero-crossing count (strict-product-negative convention: a pair counts
+    only when sample[i] * sample[i+1] < 0, so pairs straddling a zero sample
+    do not count) and the absolute peak. The raw 'pcm16' format (little-endian int16 mono) decodes for
     REAL (np.frombuffer + reshape-by-window); codec/container formats
     (mp3/flac/ogg) raise inside the kernel — decoding them needs audio
     libraries not present in this environment, and the Spark-side plumbing

@@ -224,7 +224,10 @@ def _pip_refine_collected(
         rings_by_id = {
             r[0]: r[1] for r in polygons.select(id_col, rings_col).collect()
         }
-    bc = spark.sparkContext.broadcast(rings_by_id)
+    from a5spark import cache as _cache
+
+    # scope-registered: destroyed by the caller once the result materializes
+    bc = _cache.register_broadcast(spark.sparkContext.broadcast(rings_by_id))
 
     def refine(batches):
         from a5spark.kernels.polyfill import point_in_prepared_polygon

@@ -92,12 +92,19 @@ def _matmul_candidates(
     # hash variance can push a chunk slightly over the bound, which is
     # fine — the bound is a driver-memory envelope, not an exact quota.
     # Chunks call the broadcast worker directly (no per-chunk re-count).
+    # The projected+spread point frame is persisted ONCE across chunks (the
+    # first chunk's job materializes it, the rest read the cache), so an
+    # over-limit fleet pays one point-table scan total instead of one per
+    # chunk; the caller's cache scope releases it after materialization.
+    from a5spark import cache as _cache
+
     n_chunks = -(-n_q // max_broadcast_queries)
+    pts = _cache.persist(_spread(points.select(point_id, vec)))
     chunk = F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_chunks))
     parts = [
         _matmul_broadcast(
-            queries.filter(chunk == c), points, k, query_id, point_id,
-            vec, quantized, scale,
+            queries.filter(chunk == c), pts, k, query_id, point_id,
+            vec, quantized, scale, prepped=True,
         )
         for c in range(n_chunks)
     ]
@@ -117,11 +124,14 @@ def _matmul_broadcast(
     quantized: bool,
     scale: int,
     qpdf=None,
+    prepped: bool = False,
 ) -> DataFrame:
     """Single-broadcast scorer: collects the (bounded) query frame, scores
     every point batch against it. Callers bound |queries| (see
     _matmul_candidates); a caller that already collected the fleet passes it
-    as `qpdf` so the probe collect is not repeated."""
+    as `qpdf` so the probe collect is not repeated, and one that already
+    projected+spread (and possibly persisted) the point frame passes
+    prepped=True so it is consumed as-is."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -150,7 +160,10 @@ def _matmul_broadcast(
         norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
         q_mat = q_mat / np.where(norms > 0, norms, 1.0)  # zero-norm -> no NaN
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    from a5spark import cache as _cache
+
+    # scope-registered: destroyed by the caller once the result materializes
+    bc = _cache.register_broadcast(spark.sparkContext.broadcast((q_ids, q_mat)))
 
     def score(batches):
         ids, mat = bc.value
@@ -175,7 +188,8 @@ def _matmul_broadcast(
                     out_s.extend(scores[qi, sel])
             yield pd.DataFrame({query_id: out_q, point_id: out_p, "score": out_s})
 
-    return _spread(points.select(point_id, vec)).mapInPandas(score, schema_out)
+    src = points if prepped else _spread(points.select(point_id, vec))
+    return src.mapInPandas(score, schema_out)
 
 
 def brute_force_topk(
@@ -206,9 +220,16 @@ def _np_quantize(m, scale: int):
     """round(x * scale) with HALF AWAY FROM ZERO ties — the convention of
     Spark's F.round and DuckDB's round, so every numpy quantization in this
     module lands on exactly the values the Catalyst `quantize` expression
-    and the oracle SQL produce (np.round would break ties half-to-EVEN)."""
+    and the oracle SQL produce (np.round would break ties half-to-EVEN).
+
+    Implemented without a rounding-inducing addition: floor(x+0.5) is wrong
+    for doubles just below a .5 boundary (x=0.49999999999999994: x+0.5 == 1.0
+    exactly, quantizing to 1 where HALF_UP engines produce 0). trunc + an
+    exact |frac| >= 0.5 comparison matches HALF_UP for all doubles."""
     x = np.asarray(m, dtype=np.float64) * scale
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    t = np.trunc(x)
+    out = t + np.where(np.abs(x - t) >= 0.5, np.copysign(1.0, x), 0.0)
+    return out.astype(np.int64)
 
 
 def quantize(vec: Column, scale: int = 1000) -> Column:
@@ -839,7 +860,11 @@ def ivf_topk(
         )
         for _ in range(lloyd_iters):
             c_mat = _lloyd_step(qpts, c_mat, point_id)
-    bc = spark.sparkContext.broadcast(c_mat)
+    from a5spark import cache as _cache_mod
+
+    # released by the caller's cache scope once the result materializes —
+    # same lifecycle as the persisted frames below
+    bc = _cache_mod.register_broadcast(spark.sparkContext.broadcast(c_mat))
 
     def _lister(id_name: str, top_n: int, id_type):
         # the id type follows the caller's column (string image ids are as
@@ -962,6 +987,9 @@ def _lloyd_step(qpts: DataFrame, c_mat, point_id: str):
         .agg(F.sum("__s").alias("__s"), F.sum("__c").alias("__c"))
         .collect()
     )
+    # the collect above is the only consumer of this iteration's broadcast —
+    # destroy it now so repeated Lloyd iterations don't accumulate blocks
+    bc.destroy()
     new = c_mat.copy()
     for r in rows:
         s, c = int(r["__s"]), int(r["__c"])
