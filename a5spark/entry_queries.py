@@ -2401,6 +2401,142 @@ def oracle_tile_pyramid():
     """
 
 
+# --- streaming exact-dedup on the oracle board -------------------------------
+
+_STREAM_SRC = "/tmp/a5spark_oracle/streaming_dedup_src"
+_STREAM_OUT = "/tmp/a5spark_oracle/streaming_dedup_out"
+_STREAM_CKPT = "/tmp/a5spark_oracle/streaming_dedup_ckpt"
+
+
+def q_streaming_dedup_ttl(spark, sf_dir):
+    """END-TO-END Structured Streaming on the oracle board: the TTL-bounded
+    exact-dedup canonical mapping (applyInPandasWithState keyed by content
+    digest, EventTimeTimeout) runs as a REAL stream — parquet file source →
+    withWatermark → stateful operator → parquet sink, driven by
+    Trigger.AvailableNow — and the committed sink is compared row-for-row
+    against a DuckDB oracle that re-derives the mapping relationally
+    (canonical = min doc_id per digest group).
+
+    Determinism: the source snapshot is written as ONE file, so AvailableNow
+    processes exactly one micro-batch and first-seen == min(doc_id) — the
+    batch-split-independent form of the mapping. Synthetic event times
+    (doc_id-keyed) drive the watermark/TTL arming path; with one batch no
+    TTL fires, so the mapping equals the unbounded-state answer (TTL expiry
+    across batches is pytest-verified in tests/test_round4.py)."""
+    import shutil
+
+    from a5spark.streaming.dedup import streaming_dedup_ttl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 3600).alias("ts"),
+    )
+    for p in (_STREAM_OUT, _STREAM_CKPT):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(_STREAM_SRC)
+    mapped = streaming_dedup_ttl(
+        spark,
+        _STREAM_SRC,
+        docs.schema,
+        text="text",
+        id_col="doc_id",
+        ts_col="ts",
+        ttl="1 hour",
+        watermark="10 minutes",
+    )
+    (
+        mapped.writeStream.format("parquet")
+        .option("path", _STREAM_OUT)
+        .option("checkpointLocation", _STREAM_CKPT)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(_STREAM_OUT)
+        .select("doc_id", "digest", "canonical_id", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_streaming_dedup_ttl():
+    return """
+    WITH src AS (
+      SELECT doc_id,
+             COALESCE(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT), -1)
+               AS digest,
+             CAST(text IS NULL AS INT) AS is_null_text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, digest,
+             min(doc_id) OVER (PARTITION BY digest, is_null_text)
+               AS canonical_id
+      FROM src
+    )
+    SELECT doc_id, digest, canonical_id,
+           CAST(doc_id <> canonical_id AS INT) AS is_dup
+    FROM m ORDER BY doc_id
+    """
+
+
+# --- cell-clustered data layout: write + pruned cover scan -------------------
+
+_LAYOUT_PATH = "/tmp/a5spark_oracle/cell_layout_r9"
+# res-4 cover cells (q << 58 | t << 52 | marker at 51) chosen so each has
+# matching res-9 rows at every test scale (the synthetic S distribution is
+# orderkey-structured, so (q, t) density is data-dependent)
+_LAYOUT_COVER = [
+    (q << 58) | (t << 52) | (1 << 51) for q, t in ((0, 0), (1, 7), (2, 7))
+]
+
+
+def q_cell_layout_scan(spark, sf_dir):
+    """Cell-clustered layout round-trip: write the res-9 assignment table
+    range-partitioned + sorted by the unsigned-order shifted cell key
+    (operators/layout.py), then scan it back through a coarse res-4 cover.
+    The scan prunes at FILE level via the layout manifest (driver interval
+    walk over per-file [min,max] key stats — the metadata prune an
+    Iceberg/Delta table gets from its manifest layer) and at ROW-GROUP level
+    via the pushed-down `key BETWEEN lo AND hi` disjunction over sorted
+    data. This is the distributed analogue of the reference's hierarchical
+    trichotomy prune (/root/reference/a5/traversal/cap.py:100-127) built on
+    the is_child_of prefix-range semantics
+    (/root/reference/a5/core/serialization.py:306-321). The DuckDB oracle
+    reads ALL layout files and applies the same ranges — proving the pruned
+    scan loses no rows. Pruning evidence (files/rows read vs total) is
+    asserted in tests/test_round5.py and recorded in BASELINE.md."""
+    from a5spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    layout.write_cell_layout(df, _LAYOUT_PATH, cell="cell", n_files=32)
+    scanned, _stats = layout.scan_cell_layout(spark, _LAYOUT_PATH, _LAYOUT_COVER)
+    return (
+        scanned.groupBy(native.cell_to_parent(F.col("cell"), 4).alias("parent_cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("parent_cell")
+    )
+
+
+def oracle_cell_layout_scan():
+    from a5spark.operators import layout
+
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    pred = " OR ".join(f"(cell_key BETWEEN {lo} AND {hi})" for lo, hi in ranges)
+    return f"""
+    SELECT {_sql_parent("cell", 4)} AS parent_cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM read_parquet('{_LAYOUT_PATH}/*.parquet')
+    WHERE {pred}
+    GROUP BY 1 ORDER BY 1
+    """
+
+
 QUERIES = {
     "hier_parent_rollup": q_hier_parent_rollup,
     "hier_resolution": q_hier_resolution,
@@ -2443,6 +2579,8 @@ QUERIES = {
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "tile_pyramid": q_tile_pyramid,
+    "cell_layout_scan": q_cell_layout_scan,
+    "streaming_dedup_ttl": q_streaming_dedup_ttl,
 }
 
 # queries whose plan includes an oracle-snapshot parquet write+read (skipped
@@ -2503,4 +2641,6 @@ ORACLES = {
     "hot_region_vectorize": oracle_hot_region_vectorize(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
+    "cell_layout_scan": oracle_cell_layout_scan(),
+    "streaming_dedup_ttl": oracle_streaming_dedup_ttl(),
 }

@@ -4,11 +4,13 @@ Images travel as opaque `binary` columns with typed metadata (w, h, fmt) —
 the input_hint schema. All pixel work runs in Arrow-batched kernels over
 mapInPandas / pandas UDFs; nothing decodes per-row in Python object space.
 
-The container has no image codec libraries, so REAL codec decode (jpeg/png)
-is stubbed behind a clearly-marked NotImplementedError; the synthetic 'rgb8'
-raw format decodes for real (numpy frombuffer + reshape), which keeps the
-whole Spark-side plumbing — schema, batch shape, UDF signatures, PSNR
-verification — genuine and tested.
+Codec decode (jpeg/png) is import-gated on Pillow: when the package is
+installed the same decode kernel handles those formats (tests activate
+automatically); in this container it is absent, so codec formats raise a
+clearly-marked NotImplementedError. The synthetic 'rgb8' raw format decodes
+for real (numpy frombuffer + reshape), which keeps the whole Spark-side
+plumbing — schema, batch shape, UDF signatures, PSNR verification — genuine
+and tested either way.
 """
 
 import math
@@ -29,21 +31,43 @@ from pyspark.sql.types import (
 )
 
 
+try:  # optional codec dependency — absent in this sandbox, real in prod
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised when Pillow is installed
+    _PILImage = None
+
+
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """binary -> (h, w, 3) uint8 array. Only the raw 'rgb8' format is
-    decodable in this environment; codec formats raise."""
+    """binary -> (h, w, 3) uint8 array. The raw 'rgb8' format decodes with
+    numpy alone; jpeg/png decode through Pillow WHEN INSTALLED (import-gated
+    — the same kernel, so every operator above it picks up codec support
+    with no other change); without Pillow codec formats raise."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    if fmt in ("jpeg", "jpg", "png") and _PILImage is not None:
+        import io
+
+        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image codec library "
-        "(not available in this environment)"
+        "(install Pillow to enable jpeg/png in this kernel)"
     )
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
     if fmt == "rgb8":
         return px.astype(np.uint8).tobytes()
-    raise NotImplementedError(f"encode for format {fmt!r} not available")
+    if fmt in ("jpeg", "jpg", "png") and _PILImage is not None:
+        import io
+
+        buf = io.BytesIO()
+        _PILImage.fromarray(px.astype(np.uint8), mode="RGB").save(
+            buf, format="PNG" if fmt == "png" else "JPEG"
+        )
+        return buf.getvalue()
+    raise NotImplementedError(
+        f"encode for format {fmt!r} not available (install Pillow for jpeg/png)"
+    )
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -180,12 +180,20 @@ def _matmul_broadcast(
                 chunk = p_mat[lo : lo + 8192]
                 scores = mat @ chunk.T  # (Q, B)
                 kk = min(k, chunk.shape[0])
-                top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-                for qi in range(mat.shape[0]):
-                    sel = top[qi]
-                    out_q.extend([ids[qi]] * len(sel))
-                    out_p.extend(p_ids[lo + sel])
-                    out_s.extend(scores[qi, sel])
+                # keep every point scoring >= the kth best in this chunk —
+                # INCLUDING boundary ties. argpartition alone would pick an
+                # arbitrary kk among tied scores, silently dropping the
+                # smaller-id tied points the global (score DESC, id ASC)
+                # window is contracted to prefer; keeping the whole boundary
+                # tie group preserves exact SQL row_number semantics at a
+                # candidate-volume cost of only the tie width.
+                kth = np.partition(scores, scores.shape[1] - kk, axis=1)[
+                    :, scores.shape[1] - kk
+                ]
+                qi_idx, pj_idx = np.nonzero(scores >= kth[:, None])
+                out_q.extend(ids[qi_idx])
+                out_p.extend(p_ids[lo + pj_idx])
+                out_s.extend(scores[qi_idx, pj_idx])
             yield pd.DataFrame({query_id: out_q, point_id: out_p, "score": out_s})
 
     src = points if prepped else _spread(points.select(point_id, vec))

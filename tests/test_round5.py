@@ -1,0 +1,305 @@
+"""Round-5 tests: cell-clustered data layout (file + row-group pruning),
+driver-side key math parity with the native expressions, the range-join
+fallback strategy, the IVF hot-list skew witness, and the import-gated
+Pillow codec path."""
+
+import os
+import shutil
+from functools import reduce
+
+import numpy as np
+import pytest
+
+SF_DIR = os.environ.get("A5_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from a5spark.session import get_spark
+
+    s = get_spark("a5spark-round5-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+# --- driver-side key math must agree with the Catalyst expressions ----------
+
+
+def test_layout_key_helpers_match_native(spark):
+    """layout.cell_key_py / cell_range_keys / cell_resolution_py are the
+    driver-side twins of native.shifted_key / cell_range_lo/hi /
+    cell_resolution — they MUST agree bit-for-bit on real cells, including
+    sign-bit (southern-hemisphere) ids."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import native
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+    from a5spark.operators import layout
+
+    lons = np.array([-0.1276, 139.76, -73.98, 18.42, 100.0])
+    lats = np.array([51.5074, 35.68, 40.75, -33.92, -80.0])
+    rows = []
+    for res in (2, 4, 9, 15, 29):
+        for c in to_signed(lonlat_to_cell(lons, lats, res)):
+            rows.append((int(c), res))
+    assert any(c < 0 for c, _ in rows), "need sign-bit cells"
+    df = spark.createDataFrame(rows, ["cell", "res"]).coalesce(1)
+    out = df.select(
+        "cell",
+        "res",
+        native.shifted_key(F.col("cell")).alias("key"),
+        native.cell_range_lo(F.col("cell"), F.col("res")).alias("lo"),
+        native.cell_range_hi(F.col("cell"), F.col("res")).alias("hi"),
+        native.cell_resolution(F.col("cell")).alias("nres"),
+    ).collect()
+    for r in out:
+        assert r.key == layout.cell_key_py(r.cell)
+        assert layout.cell_resolution_py(r.cell) == r.res == r.nres
+        lo, hi = layout.cell_range_keys(r.cell)
+        assert (lo, hi) == (r.lo, r.hi)
+        assert lo <= r.key <= hi  # a cell lies inside its own range
+
+
+def test_merge_key_ranges_collapses_siblings():
+    """All four children of a parent merge into exactly the parent's range;
+    disjoint covers stay disjoint."""
+    from a5spark.functions import native  # noqa: F401 (doc cross-ref)
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.serialization import res0_cells
+    from a5spark.operators import layout
+
+    parent = uncompact(np.array(res0_cells()[:1], dtype=np.uint64), 4)[10]
+    children = uncompact(np.array([parent], dtype=np.uint64), 5)
+    merged = layout.merge_key_ranges(
+        layout.cell_range_keys(int(c)) for c in children
+    )
+    assert merged == [layout.cell_range_keys(int(parent))]
+    far = uncompact(np.array(res0_cells()[7:8], dtype=np.uint64), 4)[0]
+    two = layout.cover_key_ranges([int(parent), int(far)])
+    assert len(two) == 2
+
+
+# --- the layout itself: write, manifest, file + row-group pruning -----------
+
+_LAYOUT_DIR = "/tmp/a5spark_test/cell_layout_r5"
+
+
+def _build_layout(spark, n_files=8, replicate=10):
+    """Replicated sf0.001 lineitem (enough bytes for multiple row groups at
+    a 64 KiB parquet block size) written as a cell-clustered layout."""
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _spark_cell9
+    from a5spark.operators import layout
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("__r")
+    big = li.select("l_orderkey", "l_quantity", rep).drop("__r")
+    df = _spark_cell9(big).select("cell", "l_quantity")
+    manifest = layout.write_cell_layout(
+        df,
+        _LAYOUT_DIR,
+        cell="cell",
+        n_files=n_files,
+        write_options={"parquet.block.size": "65536"},
+    )
+    return manifest
+
+
+def test_layout_pruned_scan_evidence_and_parity(spark):
+    """The core 100x-scale claim, asserted: a coarse cover scan over the
+    cell-sorted layout (a) opens a strict subset of files (manifest prune,
+    verified against the files Spark actually reads), (b) needs only a
+    strict subset of row groups (parquet min-max stats over sorted keys),
+    (c) pushes the range disjunction into the parquet scan, and (d) returns
+    exactly the rows a full scan + filter returns."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    manifest = _build_layout(spark)
+    assert manifest["source"] == "footer"
+    total_rows = sum(e["rows"] for e in manifest["files"])
+    assert sum(e["row_groups"] for e in manifest["files"]) > len(
+        manifest["files"]
+    ), "need multiple row groups per file for the row-group evidence"
+
+    scanned, stats = layout.scan_cell_layout(spark, _LAYOUT_DIR, _LAYOUT_COVER)
+    assert stats["strategy"] == "predicate"
+    assert 0 < stats["files_selected"] < stats["files_total"]
+    assert stats["rows_in_selected_files"] < total_rows
+    # Spark's plan reads exactly the manifest-selected files
+    assert len(scanned.inputFiles()) == stats["files_selected"]
+    # the range disjunction reaches the parquet scan
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "cell_key" in plan
+
+    # row-group level: among selected files, the cover ranges intersect a
+    # strict subset of row groups (sorted data -> narrow per-group ranges)
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    inter = tot = 0
+    for e in layout._select_files(manifest, ranges):
+        md = pq.ParquetFile(os.path.join(_LAYOUT_DIR, e["file"])).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}["cell_key"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            tot += 1
+            if any(int(st.min) <= hi and int(st.max) >= lo for lo, hi in ranges):
+                inter += 1
+    assert 0 < inter < tot, f"row-group prune shows nothing ({inter}/{tot})"
+
+    # exactness: pruned scan == full scan + same predicate
+    full = spark.read.parquet(_LAYOUT_DIR)
+    pred = reduce(
+        lambda a, b: a | b,
+        [F.col("cell_key").between(lo, hi) for lo, hi in ranges],
+    )
+    got = sorted(tuple(r) for r in scanned.collect())
+    want = sorted(tuple(r) for r in full.filter(pred).collect())
+    assert got == want and len(got) > 0
+
+
+def test_layout_range_join_fallback_parity(spark):
+    """A cover more fragmented than max_predicate_ranges routes through the
+    broadcast range join; the answer must be identical to the predicate
+    strategy (file pruning still applies in both)."""
+    from a5spark.operators import layout
+
+    if not os.path.isdir(_LAYOUT_DIR):
+        _build_layout(spark)
+    # 6 single-cell ranges at res 5 inside q=0..2 (fragmented on purpose:
+    # non-adjacent t's so merge can't collapse them)
+    cover = [
+        (q << 58) | (t << 52) | (s << 50) | (1 << 49)
+        for q, t, s in ((0, 0, 1), (0, 0, 3), (1, 7, 0), (1, 7, 2), (2, 7, 1), (2, 7, 3))
+    ]
+    for c in cover:
+        assert layout.cell_resolution_py(c) == 5
+    df_p, st_p = layout.scan_cell_layout(spark, _LAYOUT_DIR, cover)
+    df_j, st_j = layout.scan_cell_layout(
+        spark, _LAYOUT_DIR, cover, max_predicate_ranges=2
+    )
+    assert st_p["strategy"] == "predicate" and st_j["strategy"] == "range_join"
+    assert st_p["files_selected"] == st_j["files_selected"]
+    got = sorted(tuple(r) for r in df_j.collect())
+    want = sorted(tuple(r) for r in df_p.collect())
+    assert got == want and len(got) > 0
+
+
+def test_layout_miss_returns_empty(spark):
+    """A cover range with no matching rows (t=10 never occurs for q=3 in the
+    orderkey-structured S distribution) selects files — the file's [min,max]
+    spans the gap — but the pushed predicate matches nothing; and a cover
+    outside every file range selects nothing at file level."""
+    from a5spark.operators import layout
+
+    if not os.path.isdir(_LAYOUT_DIR):
+        _build_layout(spark)
+    gap_cover = [(3 << 58) | (10 << 52) | (1 << 51)]
+    df, stats = layout.scan_cell_layout(spark, _LAYOUT_DIR, gap_cover)
+    assert df.count() == 0
+    # synthetic manifest check: ranges beyond all files select no files
+    manifest = layout.read_manifest(spark, _LAYOUT_DIR)
+    hi_all = max(e["hi"] for e in manifest["files"])
+    assert layout._select_files(manifest, [(hi_all + 1, hi_all + 100)]) == []
+
+
+# --- IVF hot-list skew witness ----------------------------------------------
+
+
+def test_ivf_skew_witness(spark):
+    """One inverted list holding 50% of all points (the hot-list regime the
+    ivf_topk docstring names as the AQE skew case): with external centroids
+    the assignment is verifiable in numpy — assert the skew is real — and
+    hot-direction queries must still return EXACTLY the quantized
+    brute-force top-k (their true neighbors all live in the probed hot
+    list). The candidate join must stay an equi-join (no cartesian /
+    nested-loop in the plan). At this scale the hot list is one broadcast-
+    join partition — no split needed; at cluster scale the same plan under
+    spark.sql.adaptive.skewJoin splits the hot partition automatically,
+    which is the measured justification recorded in PLANS.md."""
+    from a5spark.operators.similarity import _np_quantize, ivf_topk, quantized_topk
+
+    dim, n_pts, n_hot = 8, 500, 250
+    rng_jit = [(i * 37) % 97 for i in range(n_pts)]
+    pts = []
+    for i in range(n_pts):
+        v = [0.0] * dim
+        if i < n_hot:
+            v[0] = 1.0
+            v[1] = rng_jit[i] * 1e-4
+        else:
+            d = 1 + (i % 7)
+            v[d] = 1.0
+            v[(d + 1) % dim] = rng_jit[i] * 1e-4
+        pts.append((i, v))
+    centroids = [(j, [1.0 if d == j else 0.0 for d in range(dim)]) for j in range(dim)]
+
+    # the fixture IS skewed: numpy argmax assignment puts 50% in list 0
+    c_mat = _np_quantize(np.array([v for _, v in centroids]), 1000)
+    p_mat = _np_quantize(np.array([v for _, v in pts]), 1000)
+    assign = np.argmax(p_mat @ c_mat.T, axis=1)
+    frac = float((assign == 0).mean())
+    assert frac >= 0.45, f"hot list holds {frac:.0%}, fixture not skewed"
+
+    queries = [(1000 + j, [1.0] + [j * 1e-4] + [0.0] * (dim - 2)) for j in range(5)]
+    pdf = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["q_id", "embedding"])
+    got = ivf_topk(
+        qdf, pdf, k=10, dim=dim, n_lists=dim, n_probe=1,
+        centroids=centroids, lloyd_iters=0,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got_rows = sorted(
+        (r.q_id, r.rank, r.vec_id, r.qdot) for r in got.collect()
+    )
+    want_rows = sorted(
+        (r.q_id, r.rank, r.vec_id, r.qdot)
+        for r in quantized_topk(qdf, pdf, k=10).collect()
+    )
+    assert got_rows == want_rows and len(got_rows) == 50
+
+
+# --- import-gated Pillow codec path -----------------------------------------
+
+
+def test_codec_decode_via_pillow_when_installed():
+    """Activates only when Pillow exists (absent in this sandbox): a PNG
+    round-trips losslessly through the SAME decode kernel the rgb8 path
+    uses, so every image operator gains codec support with no other
+    change."""
+    pytest.importorskip("PIL")
+    from a5spark.operators.multimodal import decode_image, encode_image
+
+    px = (np.arange(48 * 32 * 3, dtype=np.uint64) * 7919 % 256).astype(np.uint8)
+    px = px.reshape(32, 48, 3)
+    data = encode_image(px, "png")
+    out = decode_image(data, 48, 32, "png")
+    assert out.shape == (32, 48, 3)
+    assert np.array_equal(out, px)
+
+
+def test_codec_decode_raises_without_pillow():
+    """Without Pillow the codec path must raise the documented
+    NotImplementedError (not a silent wrong answer)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — covered by the round-trip test")
+    except ImportError:
+        pass
+    from a5spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", 4, 4, "png")
+
+
+def teardown_module(module):
+    shutil.rmtree("/tmp/a5spark_test", ignore_errors=True)
