@@ -145,6 +145,10 @@ def main():
         "value": round(flag_sec, 3),
         "unit": "sec",
         "queries": times,
+        # cross-round comparability: since r04 `queries` is ENGINE-ONLY
+        # (oracle-snapshot parquet round-trips skipped); the r03-and-earlier
+        # comparable numbers for snapshot queries are `queries_oracle_io`
+        "queries_mode": "engine_only (SPARK_GRAFT_SKIP_SNAPSHOT)",
         "queries_oracle_io": io_times,
         "sf": _sf_of(SF_DIR),
         "rows": n_rows,

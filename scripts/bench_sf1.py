@@ -29,8 +29,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/a5spark_sf1"
-REPLICAS = 10
+# SPARK_GRAFT_SF_REPLICAS=30 + SPARK_GRAFT_SF_DST=/tmp/a5spark_sf3 gives the
+# sf3 point (same structure-preserving replication, one more 3x step)
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SF_REPLICAS", "10"))
+DST = os.environ.get("SPARK_GRAFT_SF_DST", "/tmp/a5spark_sf1")
 
 QUERIES = [
     "cell_density_r7",
@@ -138,7 +140,16 @@ def main():
         times[name] = round(best, 3)
         rows[name] = n
         print(f"{name}: {times[name]}s ({n} rows)", file=sys.stderr)
-    print(json.dumps({"sf": 1.0, "rows": 1_500_000, "queries": times, "result_rows": rows}))
+    print(
+        json.dumps(
+            {
+                "sf": round(0.1 * REPLICAS, 2),
+                "rows": 150_000 * REPLICAS,
+                "queries": times,
+                "result_rows": rows,
+            }
+        )
+    )
     spark.stop()
 
 
