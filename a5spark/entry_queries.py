@@ -2480,6 +2480,102 @@ def oracle_streaming_dedup_ttl():
     """
 
 
+# --- streaming gap-sessionization on the oracle board ------------------------
+
+_SESS_SRC = "/tmp/a5spark_oracle/streaming_sessions_src"
+_SESS_OUT = "/tmp/a5spark_oracle/streaming_sessions_out"
+_SESS_CKPT = "/tmp/a5spark_oracle/streaming_sessions_ckpt"
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Second Structured Streaming query on the oracle board: per-user gap
+    sessionization (applyInPandasWithState keyed by user_id,
+    EventTimeTimeout) runs as a REAL stream — parquet source → withWatermark
+    → stateful operator → parquet sink, Trigger.AvailableNow — and the
+    committed sink is compared row-for-row against a DuckDB oracle.
+
+    Determinism contract: `spark.sql.streaming.noDataMicroBatches.enabled`
+    is pinned OFF for the run (restored after), so exactly ONE micro-batch
+    processes the single-file snapshot and no event-time timer fires. In a
+    single sorted batch the stateful operator closes exactly the sessions
+    the batch window-function split closes, leaving each user's FINAL
+    session open in state — so the emitted set is relationally expressible:
+    every (user, session) except the per-user last. Timer/timeout expiry
+    across batches is pytest-verified separately
+    (tests/test_pipeline.py::test_streaming_sessions_match_batch and the
+    round-4 restart tests)."""
+    import shutil
+
+    from a5spark.streaming.sessions import streaming_sessions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    for p in (_SESS_OUT, _SESS_CKPT):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(_SESS_SRC)
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        sessions = streaming_sessions(
+            spark, _SESS_SRC, ev.schema, gap="30 minutes", watermark="2 hours"
+        )
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", _SESS_OUT)
+            .option("checkpointLocation", _SESS_CKPT)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    return (
+        spark.read.parquet(_SESS_OUT)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+def oracle_streaming_sessions():
+    return """
+    WITH gaps AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, value, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS session_idx
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_idx,
+             CAST(min(ts_us) AS BIGINT) AS start_us,
+             CAST(max(ts_us) AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM sess GROUP BY user_id, session_idx
+    ), marked AS (
+      SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS max_idx
+      FROM per_session
+    )
+    SELECT user_id, start_us, end_us, n_events, total_value
+    FROM marked WHERE session_idx < max_idx
+    ORDER BY user_id, start_us
+    """
+
+
 # --- cell-clustered data layout: write + pruned cover scan -------------------
 
 _LAYOUT_PATH = "/tmp/a5spark_oracle/cell_layout_r9"
@@ -2581,6 +2677,7 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "cell_layout_scan": q_cell_layout_scan,
     "streaming_dedup_ttl": q_streaming_dedup_ttl,
+    "streaming_sessions": q_streaming_sessions,
 }
 
 # queries whose plan includes an oracle-snapshot parquet write+read (skipped
@@ -2643,4 +2740,5 @@ ORACLES = {
     "knn_images": oracle_knn_images(),
     "cell_layout_scan": oracle_cell_layout_scan(),
     "streaming_dedup_ttl": oracle_streaming_dedup_ttl(),
+    "streaming_sessions": oracle_streaming_sessions(),
 }

@@ -76,6 +76,18 @@ NOTES = {
         "audited by its oracle row-parity (CORRECTNESS) and the round-4 "
         "restart/TTL tests instead of a tree here."
     ),
+    "streaming_sessions": (
+        "Second streaming query on the oracle board (registry "
+        "`streaming_sessions`): per-user gap sessionization via "
+        "applyInPandasWithState(EventTimeTimeout) run as a real "
+        "AvailableNow stream into a parquet sink. Determinism contract: "
+        "noDataMicroBatches pinned OFF for the run, so exactly one "
+        "micro-batch processes the snapshot and no event-time timer "
+        "fires — the emitted set is every (user, session) except each "
+        "user's open tail session, which the DuckDB oracle expresses "
+        "relationally (session_idx < max_idx). Timer expiry across "
+        "batches stays covered by the batch-parity and restart pytests."
+    ),
 }
 
 
@@ -121,11 +133,13 @@ def main():
             lines.append(f"note: {NOTES[name]}")
         lines.append("")
 
-    if "streaming_dedup_ttl" in NOTES:
-        lines.append("## streaming_dedup_ttl")
-        lines.append("")
-        lines.append(f"note: {NOTES['streaming_dedup_ttl']}")
-        lines.append("")
+    # prose-only sections for stateful streaming queries (no batch plan tree)
+    for name in ("streaming_dedup_ttl", "streaming_sessions"):
+        if name in NOTES:
+            lines.append(f"## {name}")
+            lines.append("")
+            lines.append(f"note: {NOTES[name]}")
+            lines.append("")
 
     spark.stop()
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
