@@ -2633,6 +2633,72 @@ def oracle_cell_layout_scan():
     """
 
 
+# --- cell-bucketed co-located join ------------------------------------------
+
+_BUCKETED_A = "/tmp/a5spark_oracle/bucketed_feed_a"
+_BUCKETED_B = "/tmp/a5spark_oracle/bucketed_feed_b"
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free big×big join via cell-bucketed tables
+    (operators/bucketing.py): two image feeds (disjoint halves of the
+    corpus, A5-encoded at res 3) are written bucketed + bucket-sorted by
+    cell with the same bucket count, then joined per cell and aggregated —
+    scan → scan → SortMergeJoin → agg with ZERO Exchange operators
+    (asserted in tests/test_round5.py). autoBroadcastJoinThreshold is
+    pinned off for the run so the plan is the one a 100 TB deployment gets
+    (neither feed broadcastable); the bucketed layout is what removes the
+    2× full-table shuffle. The DuckDB oracle reads the same bucketed
+    parquet files and reproduces the join relationally."""
+    from a5spark.operators.bucketing import bucketed_join, write_bucketed_table
+    from a5spark.operators.spatial import assign_cells
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 3)
+    feed_a = img.filter(F.col("k") % 2 == 0).select(
+        "cell", F.col("image_id").alias("a_id"), F.col("w").alias("a_w")
+    )
+    feed_b = img.filter(F.col("k") % 2 == 1).select(
+        "cell", F.col("image_id").alias("b_id"), F.col("w").alias("b_w")
+    )
+    write_bucketed_table(feed_a, "a5_bucketed_a", n_buckets=16, path=_BUCKETED_A)
+    write_bucketed_table(feed_b, "a5_bucketed_b", n_buckets=16, path=_BUCKETED_B)
+    conf_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "-1")
+    try:
+        out = (
+            bucketed_join(spark, "a5_bucketed_a", "a5_bucketed_b")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.col("a_w").cast("long") * F.col("b_w")).alias("sum_ww"),
+                F.min("a_id").alias("min_a"),
+                F.max("b_id").alias("max_b"),
+            )
+            .orderBy("cell")
+        )
+        # materialize under the pinned conf so the exchange-free SMJ is the
+        # plan that actually executes (the driver collects lazily, after
+        # the conf is restored)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev)
+    return out
+
+
+def oracle_bucketed_join():
+    return f"""
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(a.a_w AS BIGINT) * b.b_w) AS BIGINT) AS sum_ww,
+           min(a.a_id) AS min_a,
+           max(b.b_id) AS max_b
+    FROM read_parquet('{_BUCKETED_A}/*.parquet') a
+    JOIN read_parquet('{_BUCKETED_B}/*.parquet') b USING (cell)
+    GROUP BY a.cell ORDER BY a.cell
+    """
+
+
 QUERIES = {
     "hier_parent_rollup": q_hier_parent_rollup,
     "hier_resolution": q_hier_resolution,
@@ -2678,6 +2744,7 @@ QUERIES = {
     "cell_layout_scan": q_cell_layout_scan,
     "streaming_dedup_ttl": q_streaming_dedup_ttl,
     "streaming_sessions": q_streaming_sessions,
+    "bucketed_join": q_bucketed_join,
 }
 
 # queries whose plan includes an oracle-snapshot parquet write+read (skipped
@@ -2741,4 +2808,5 @@ ORACLES = {
     "cell_layout_scan": oracle_cell_layout_scan(),
     "streaming_dedup_ttl": oracle_streaming_dedup_ttl(),
     "streaming_sessions": oracle_streaming_sessions(),
+    "bucketed_join": oracle_bucketed_join(),
 }

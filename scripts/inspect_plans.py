@@ -41,6 +41,7 @@ AUDIT = [
     "crossmodal_neardup",
     "doc_quality",
     "cell_layout_scan",
+    "bucketed_join",
 ]
 
 # prose audit notes appended under the matching plan — measured context the
@@ -87,6 +88,17 @@ NOTES = {
         "user's open tail session, which the DuckDB oracle expresses "
         "relationally (session_idx < max_idx). Timer expiry across "
         "batches stays covered by the batch-parity and restart pytests."
+    ),
+    "bucketed_join": (
+        "Cell-bucketed co-located join (operators/bucketing.py): both image "
+        "feeds are written bucketBy(16, cell) + sortBy(cell), so the join "
+        "AND the per-cell aggregation plan with ZERO Exchange operators "
+        "(scan -> SortMergeJoin -> HashAggregate all reuse the bucket "
+        "partitioning; broadcast pinned off so this is the big*big shape). "
+        "The query materializes via localCheckpoint under the pinned conf, "
+        "so the post-hoc explain() here shows the checkpoint scan, not the "
+        "join tree — the exchange-free plan is asserted verbatim in "
+        "tests/test_round5.py::test_bucketed_join_is_exchange_free_and_exact."
     ),
 }
 

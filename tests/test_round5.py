@@ -303,3 +303,72 @@ def test_codec_decode_raises_without_pillow():
 
 def teardown_module(module):
     shutil.rmtree("/tmp/a5spark_test", ignore_errors=True)
+
+
+# --- cell-bucketed co-located join ------------------------------------------
+
+
+def test_bucketed_join_is_exchange_free_and_exact(spark):
+    """Two tables bucketed by cell with the same bucket count must join AND
+    aggregate with zero Exchange operators (scan → SortMergeJoin → agg all
+    reuse the bucket partitioning), and the result must match the plain
+    shuffle join bit-for-bit. Broadcast is pinned off so the asserted plan
+    is the big×big shape a 100 TB deployment gets."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.bucketing import (
+        bucketed_join,
+        count_exchanges,
+        write_bucketed_table,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 211).alias("cell"),
+        F.col("id").alias("k"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    a = df.filter(F.col("k") % 2 == 0)
+    b = df.filter(F.col("k") % 2 == 1).withColumnRenamed("v", "w").withColumnRenamed("k", "k2")
+    write_bucketed_table(a, "t_r5_a", n_buckets=8, path="/tmp/a5spark_r5/bk_a")
+    write_bucketed_table(b, "t_r5_b", n_buckets=8, path="/tmp/a5spark_r5/bk_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("w")).alias("s"),
+            F.min("k").alias("mk"),
+        ]
+        got = bucketed_join(spark, "t_r5_a", "t_r5_b").groupBy("cell").agg(*agg)
+        assert count_exchanges(got) == 0, got._jdf.queryExecution().executedPlan().toString()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        want = (
+            spark.read.parquet("/tmp/a5spark_r5/bk_a")
+            .join(spark.read.parquet("/tmp/a5spark_r5/bk_b"), "cell")
+            .groupBy("cell")
+            .agg(*agg)
+        )
+        assert count_exchanges(want) >= 1  # the layout is what removed them
+        got_rows = sorted(map(tuple, got.collect()))
+        want_rows = sorted(map(tuple, want.collect()))
+        assert got_rows == want_rows and len(got_rows) == 211
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_rejects_stale_metadata(spark):
+    """Re-writing a bucketed table with a different bucket count must not
+    leave the catalog claiming the old count (the classic external-table
+    overwrite trap — wrong bucket metadata silently yields WRONG join
+    results in Spark, not an error)."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.bucketing import write_bucketed_table
+
+    df = spark.range(100).select((F.col("id") % 7).alias("cell"), F.col("id").alias("v"))
+    write_bucketed_table(df, "t_r5_c", n_buckets=4, path="/tmp/a5spark_r5/bk_c")
+    write_bucketed_table(df, "t_r5_c", n_buckets=8, path="/tmp/a5spark_r5/bk_c")
+    desc = spark.sql("DESCRIBE EXTENDED t_r5_c").collect()
+    txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "8" in [r.data_type for r in desc if r.col_name == "Num Buckets"], txt
