@@ -2699,6 +2699,63 @@ def oracle_bucketed_join():
     """
 
 
+_BOUNDARY_SNAPSHOT = "/tmp/a5spark_oracle/boundary_wkt_r5"
+
+
+def q_boundary_wkt(spark, sf_dir):
+    """GIS export surface: WKT serialization of cell boundaries
+    (functions/gis.py) over the distinct res-5 cells of the image corpus.
+    The boundary vertices themselves are fixture-pinned elsewhere
+    (cell_to_boundary vs the reference, <=1.3e-13 —
+    /root/reference/a5/core/cell.py); what THIS oracle value-checks
+    end-to-end is the Catalyst fixed-point WKT serializer: ring order,
+    truncation arithmetic, and string assembly, reproduced independently by
+    DuckDB string_agg over the exploded snapshot vertices. The float
+    WKT/GeoJSON builders for GIS consumers share the same assembly path and
+    are pytest-parity-tested (tests/test_round5.py)."""
+    from a5spark.functions.gis import ring_to_wkt_fixed
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.operators.spatial import assign_cells
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 5)
+    exploded = (
+        img.select("cell")
+        .distinct()
+        .select("cell", F.posexplode(a5_cell_to_boundary(F.col("cell"))).alias("idx", "pt"))
+        .select("cell", "idx", F.col("pt")[0].alias("lon"), F.col("pt")[1].alias("lat"))
+    )
+    snap = _snapshot(exploded, _BOUNDARY_SNAPSHOT)
+    rebuilt = (
+        snap.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "lon", "lat"))).alias("pts"))
+        .select(
+            "cell",
+            F.transform("pts", lambda s: F.array(s["lon"], s["lat"])).alias("ring"),
+        )
+    )
+    return rebuilt.select(
+        "cell",
+        F.size("ring").cast("long").alias("n_pts"),
+        ring_to_wkt_fixed(F.col("ring")).alias("wkt_fp"),
+    ).orderBy("cell")
+
+
+def oracle_boundary_wkt():
+    return f"""
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CASE WHEN count(*) < 4 THEN 'POLYGON EMPTY'
+                ELSE 'POLYGON ((' || string_agg(
+                         CAST(CAST(trunc(lon*1e7) AS BIGINT) AS VARCHAR)
+                         || ' ' ||
+                         CAST(CAST(trunc(lat*1e7) AS BIGINT) AS VARCHAR),
+                         ', ' ORDER BY idx) || '))'
+           END AS wkt_fp
+    FROM read_parquet('{_BOUNDARY_SNAPSHOT}/*.parquet')
+    GROUP BY cell ORDER BY cell
+    """
+
+
 QUERIES = {
     "hier_parent_rollup": q_hier_parent_rollup,
     "hier_resolution": q_hier_resolution,
@@ -2745,6 +2802,7 @@ QUERIES = {
     "streaming_dedup_ttl": q_streaming_dedup_ttl,
     "streaming_sessions": q_streaming_sessions,
     "bucketed_join": q_bucketed_join,
+    "boundary_wkt": q_boundary_wkt,
 }
 
 # queries whose plan includes an oracle-snapshot parquet write+read (skipped
@@ -2809,4 +2867,5 @@ ORACLES = {
     "streaming_dedup_ttl": oracle_streaming_dedup_ttl(),
     "streaming_sessions": oracle_streaming_sessions(),
     "bucketed_join": oracle_bucketed_join(),
+    "boundary_wkt": oracle_boundary_wkt(),
 }

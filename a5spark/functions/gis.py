@@ -1,0 +1,95 @@
+"""WKT / GeoJSON interop for A5 cell boundaries — the GIS export surface.
+
+The reference exposes boundaries as raw coordinate arrays
+(`cell_to_boundary`, /root/reference/a5/core/cell.py); everything a user
+plugs those into (PostGIS, QGIS, Sedona, DuckDB-spatial, deck.gl) speaks
+WKT or GeoJSON. These builders are pure Catalyst string expressions over
+the boundary `array<array<double>>` column — no Python row path, so export
+runs JVM-side inside whole-stage codegen at scan speed.
+
+Float-formatting caveat, and why there are two WKT builders: decimal
+rendering of doubles is engine-specific at round-half ties (Java Formatter
+%.Nf rounds HALF_UP on the exact binary expansion; C printf rounds
+half-even), so `ring_to_wkt` output is for GIS consumers, not for
+cross-engine hashing. `ring_to_wkt_fixed` renders integer 10^-scale
+degrees via truncation (`CAST(x*10^s AS BIGINT)` toward zero — exact and
+identical in Spark and DuckDB), which is what the `boundary_wkt` oracle
+query hashes.
+"""
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ring_to_wkt(ring: Column, precision: int = 7) -> Column:
+    """`POLYGON ((lon lat, ...))` from a closed lonlat ring; `POLYGON EMPTY`
+    for degenerate (<4 point) rings, matching WKT's closed-ring minimum."""
+    fmt = f"%.{precision}f %.{precision}f"
+    pts = F.transform(ring, lambda p: F.format_string(fmt, p[0], p[1]))
+    return F.when(
+        F.coalesce(F.size(ring), F.lit(0)) < 4, F.lit("POLYGON EMPTY")
+    ).otherwise(
+        F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "), F.lit("))"))
+    )
+
+
+def ring_to_wkt_fixed(ring: Column, scale: int = 7) -> Column:
+    """Fixed-point WKT: coordinates as integer 10^-`scale` degrees obtained
+    by truncation toward zero — bit-identical across engines (see module
+    docstring), so safe to value-hash in cross-engine oracles."""
+    mult = F.lit(float(10**scale))
+    pts = F.transform(
+        ring,
+        lambda p: F.concat_ws(
+            " ",
+            (p[0] * mult).cast("long").cast("string"),
+            (p[1] * mult).cast("long").cast("string"),
+        ),
+    )
+    return F.when(
+        F.coalesce(F.size(ring), F.lit(0)) < 4, F.lit("POLYGON EMPTY")
+    ).otherwise(
+        F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "), F.lit("))"))
+    )
+
+
+def ring_to_geojson(ring: Column, precision: int = 7) -> Column:
+    """GeoJSON `Polygon` geometry string (single outer ring — A5 cell
+    boundaries have no holes)."""
+    fmt = f"[%.{precision}f,%.{precision}f]"
+    pts = F.transform(ring, lambda p: F.format_string(fmt, p[0], p[1]))
+    return F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        F.array_join(pts, ","),
+        F.lit("]]}"),
+    )
+
+
+def wkt_polygon_ring(wkt: Column) -> Column:
+    """Outer ring of a simple (hole-free) `POLYGON ((...))` WKT string as
+    `array<array<double>>` — the inverse of `ring_to_wkt`, for polygon
+    layers that arrive as WKT columns and feed the polyfill/PIP operators.
+    Unparseable strings yield an empty array (callers filter on size)."""
+    inner = F.regexp_extract(wkt, r"POLYGON\s*\(\(([^)]*)\)\)", 1)
+    pts = F.split(inner, r"\s*,\s*")
+    parsed = F.transform(
+        pts,
+        lambda s: F.transform(F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")),
+    )
+    return F.when(F.length(inner) == 0, F.array().cast("array<array<double>>")).otherwise(
+        parsed
+    )
+
+
+def cell_to_boundary_wkt(cell: Column, precision: int = 7) -> Column:
+    """WKT boundary straight from a cell-id column (composes the Arrow
+    boundary UDF with the Catalyst serializer)."""
+    from a5spark.functions.udfs import a5_cell_to_boundary
+
+    return ring_to_wkt(a5_cell_to_boundary(cell), precision)
+
+
+def cell_to_boundary_geojson(cell: Column, precision: int = 7) -> Column:
+    from a5spark.functions.udfs import a5_cell_to_boundary
+
+    return ring_to_geojson(a5_cell_to_boundary(cell), precision)

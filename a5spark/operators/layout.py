@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a5spark.functions import native
-from a5spark.pipeline.checkpoint import _read_text, _write_text
+from a5spark.pipeline.checkpoint import _delete_dir, _fs, _read_text, _write_text
 
 MANIFEST_NAME = "_cell_layout_manifest.json"
 
@@ -161,6 +161,7 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
         for name in sorted(os.listdir(local)):
             if not name.endswith(".parquet"):
                 continue
+            nbytes = os.path.getsize(os.path.join(local, name))
             md = pq.ParquetFile(os.path.join(local, name)).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             ci = idx[key_col]
@@ -180,11 +181,13 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
                         "hi": max(his),
                         "rows": rows,
                         "row_groups": md.num_row_groups,
+                        "bytes": nbytes,
                     }
                 )
         return entries, "footer"
     # object store / DFS: one scan that builds the index (production: the
-    # table format's metadata layer supplies this without any scan)
+    # table format's metadata layer supplies this without any scan); file
+    # sizes come from a directory listing — metadata I/O only
     rows = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("f"))
@@ -195,6 +198,12 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
         )
         .collect()
     )
+    fs, p, _ = _fs(spark, path)
+    sizes = {
+        st.getPath().getName(): int(st.getLen())
+        for st in fs.listStatus(p)
+        if st.isFile()
+    }
     return (
         [
             {
@@ -203,6 +212,7 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
                 "hi": int(r["hi"]),
                 "rows": int(r["rows"]),
                 "row_groups": None,
+                "bytes": sizes.get(r["f"].rsplit("/", 1)[-1]),
             }
             for r in rows
         ],
@@ -275,3 +285,113 @@ def scan_cell_layout(
         (F.col(key_col) >= F.col("r_lo")) & (F.col(key_col) <= F.col("r_hi")),
     ).drop("r_lo", "r_hi")
     return joined, stats
+
+
+def optimize_cell_layout(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+    write_options: dict | None = None,
+) -> dict:
+    """Bin-pack a cell layout's small files into ~target-size files without
+    breaking the clustering invariant — the maintenance half of the layout
+    story (Delta `OPTIMIZE` / Iceberg `rewrite_data_files` analogue).
+
+    At 100 TB the layout is written incrementally (per ingest batch /
+    checkpoint partition), which accretes small files; small files tax every
+    scan with per-file open cost and defeat row-group pruning (one tiny row
+    group each). Because `write_cell_layout` produces files DISJOINT in key
+    ranges, merging ADJACENT (key-order) files and re-sorting the merged rows
+    preserves the global sort — so pruning semantics are untouched and only
+    the file granularity changes.
+
+    Mechanics per bin (a maximal run of adjacent files each under
+    `min_file_bytes`, packed greedily to `target_file_bytes`): read the bin's
+    files, one-task sort on the key, write to an underscore-prefixed temp dir
+    (invisible to parquet readers), rename the result into the layout dir,
+    delete the bin's old files. Bins are independent — a production
+    maintenance scheduler runs them as parallel jobs; here they run
+    sequentially for determinism. The manifest is rebuilt and re-committed
+    once at the end, and `scan_cell_layout` reads files through the manifest,
+    so a crash mid-optimize leaves the previous manifest serving a consistent
+    (if partially duplicated on disk) view — the atomic-commit role an
+    Iceberg snapshot plays in production.
+
+    Returns {files_before, files_after, bins, files_rewritten,
+    bytes_rewritten}.
+    """
+    manifest = read_manifest(spark, path)
+    key_col = manifest["key_col"]
+    files = manifest["files"]  # sorted by lo == adjacency order
+    if any(e.get("bytes") is None for e in files):
+        raise ValueError("optimize_cell_layout: manifest lacks file sizes; "
+                         "rewrite the layout with the current writer first")
+    min_file_bytes = (
+        target_file_bytes // 2 if min_file_bytes is None else min_file_bytes
+    )
+
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_bytes = 0
+    for e in files:
+        if e["bytes"] >= min_file_bytes:
+            if len(cur) >= 2:
+                bins.append(cur)
+            cur, cur_bytes = [], 0
+            continue
+        if cur and cur_bytes + e["bytes"] > target_file_bytes:
+            if len(cur) >= 2:
+                bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += e["bytes"]
+    if len(cur) >= 2:
+        bins.append(cur)
+
+    stats = {
+        "files_before": len(files),
+        "bins": len(bins),
+        "files_rewritten": sum(len(b) for b in bins),
+        "bytes_rewritten": sum(e["bytes"] for b in bins for e in b),
+    }
+    if not bins:
+        stats["files_after"] = len(files)
+        return stats
+
+    fs, _, jvm = _fs(spark, path)
+    tmp_root = f"{path}/_optimize_tmp"
+    for i, b in enumerate(bins):
+        tmp_dir = f"{tmp_root}/bin-{i}"
+        df = spark.read.parquet(*[f"{path}/{e['file']}" for e in b])
+        writer = df.coalesce(1).sortWithinPartitions(key_col).write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(tmp_dir)
+        part = [
+            st.getPath()
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        assert len(part) == 1, f"expected one part file in {tmp_dir}"
+        # unique per bin: the bin's first (lowest) key, hex of the shifted key
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/opt-{(b[0]['lo'] + (1 << 63)) & _M64:016x}.parquet"
+        )
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(part[0], dest)
+        for e in b:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False)
+    _delete_dir(spark, tmp_root)
+
+    entries, source = _manifest_entries(spark, path, key_col)
+    manifest = {
+        "key_col": key_col,
+        "cell_col": manifest["cell_col"],
+        "source": source,
+        "files": sorted(entries, key=lambda e: e["lo"]),
+    }
+    _write_text(spark, f"{path}/{MANIFEST_NAME}", json.dumps(manifest))
+    stats["files_after"] = len(manifest["files"])
+    return stats

@@ -42,6 +42,7 @@ AUDIT = [
     "doc_quality",
     "cell_layout_scan",
     "bucketed_join",
+    "boundary_wkt",
 ]
 
 # prose audit notes appended under the matching plan — measured context the

@@ -87,7 +87,7 @@ def test_merge_key_ranges_collapses_siblings():
 _LAYOUT_DIR = "/tmp/a5spark_test/cell_layout_r5"
 
 
-def _build_layout(spark, n_files=8, replicate=10):
+def _build_layout(spark, n_files=8, replicate=10, path=_LAYOUT_DIR):
     """Replicated sf0.001 lineitem (enough bytes for multiple row groups at
     a 64 KiB parquet block size) written as a cell-clustered layout."""
     from pyspark.sql import functions as F
@@ -101,7 +101,7 @@ def _build_layout(spark, n_files=8, replicate=10):
     df = _spark_cell9(big).select("cell", "l_quantity")
     manifest = layout.write_cell_layout(
         df,
-        _LAYOUT_DIR,
+        path,
         cell="cell",
         n_files=n_files,
         write_options={"parquet.block.size": "65536"},
@@ -372,3 +372,138 @@ def test_bucketed_join_rejects_stale_metadata(spark):
     desc = spark.sql("DESCRIBE EXTENDED t_r5_c").collect()
     txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
     assert "8" in [r.data_type for r in desc if r.col_name == "Num Buckets"], txt
+
+
+# --- layout maintenance: OPTIMIZE-style small-file bin-packing --------------
+
+
+def test_optimize_cell_layout_binpacks_and_preserves_scans(spark):
+    """optimize_cell_layout merges adjacent small files into target-size
+    files WITHOUT breaking the clustering invariants: the manifest stays
+    sorted and key-disjoint, rewritten files are internally key-sorted, a
+    cover scan before and after returns identical rows with file pruning
+    still biting, and a re-run on the packed layout is a no-op."""
+    import pyarrow.parquet as pq
+
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_opt"
+    shutil.rmtree(d, ignore_errors=True)
+    before = _build_layout(spark, n_files=16, path=d)
+    sizes = [e["bytes"] for e in before["files"]]
+    assert all(s > 0 for s in sizes)
+    rows_total = sum(e["rows"] for e in before["files"])
+    scan_before, st_before = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    want = sorted(tuple(r) for r in scan_before.collect())
+    assert len(want) > 0 and 0 < st_before["files_selected"] < 16
+
+    # every file is "small": pack ~4 originals per output file
+    target = int(sum(sizes) / 4 * 1.05)
+    stats = layout.optimize_cell_layout(
+        spark, d, target_file_bytes=target, min_file_bytes=max(sizes) + 1,
+        write_options={"parquet.block.size": "65536"},
+    )
+    after = layout.read_manifest(spark, d)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == len(after["files"]) < 16
+    # a trailing 1-file run may legitimately stay (bins need >= 2 files)
+    assert stats["files_rewritten"] >= 14
+    assert stats["files_after"] == 16 - stats["files_rewritten"] + stats["bins"]
+    # on-disk file set == manifest file set (old files deleted, tmp cleaned)
+    on_disk = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert on_disk == sorted(e["file"] for e in after["files"])
+    assert not os.path.exists(f"{d}/_optimize_tmp")
+    # invariants: sorted, pairwise-disjoint manifest; sizes recorded; rows kept
+    files = after["files"]
+    assert all(files[i]["hi"] < files[i + 1]["lo"] for i in range(len(files) - 1))
+    assert sum(e["rows"] for e in files) == rows_total
+    assert all(e["bytes"] > 0 for e in files)
+    # each rewritten file is internally key-sorted (row-group stats suffice:
+    # sorted data => consecutive groups have non-overlapping, increasing ranges)
+    for e in files:
+        md = pq.ParquetFile(os.path.join(d, e["file"])).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            after["key_col"]
+        ]
+        prev_hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            assert st.has_min_max
+            if prev_hi is not None:
+                assert int(st.min) >= prev_hi
+            prev_hi = int(st.max)
+        tbl = pq.read_table(os.path.join(d, e["file"]), columns=[after["key_col"]])
+        ks = tbl.column(0).to_numpy()
+        assert (np.diff(ks) >= 0).all()
+    # scan parity + pruning still active on the packed layout
+    scan_after, st_after = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    got = sorted(tuple(r) for r in scan_after.collect())
+    assert got == want
+    assert 0 < st_after["files_selected"] < st_after["files_total"]
+    # idempotence: everything is now >= the default small-file threshold
+    again = layout.optimize_cell_layout(spark, d, target_file_bytes=target)
+    assert again["bins"] == 0 and again["files_after"] == stats["files_after"]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# --- GIS export: WKT / GeoJSON serialization of boundaries ------------------
+
+
+def test_wkt_geojson_roundtrip_and_fixed_parity(spark):
+    """The float WKT/GeoJSON builders (functions/gis.py) round-trip through
+    the WKT parser within the printed precision, the GeoJSON is valid JSON
+    with matching coordinates, and the fixed-point WKT (what the
+    boundary_wkt oracle hashes) equals the driver-side truncation exactly.
+    Degenerate rings serialize as POLYGON EMPTY."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+
+    lons = np.array([-0.1276, 139.76, -73.98, 18.42, 100.0, 0.0])
+    lats = np.array([51.5074, 35.68, 40.75, -33.92, -80.0, 0.0])
+    cells = [int(c) for c in to_signed(lonlat_to_cell(lons, lats, 7))]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"]).coalesce(1)
+    out = (
+        df.select("cell", a5_cell_to_boundary(F.col("cell")).alias("ring"))
+        .select(
+            "cell",
+            "ring",
+            gis.ring_to_wkt(F.col("ring")).alias("wkt"),
+            gis.ring_to_wkt_fixed(F.col("ring")).alias("wkt_fp"),
+            gis.ring_to_geojson(F.col("ring")).alias("gj"),
+            gis.wkt_polygon_ring(gis.ring_to_wkt(F.col("ring"))).alias("ring_rt"),
+        )
+        .collect()
+    )
+    assert len(out) == len(cells)
+    for r in out:
+        ring = np.array(r.ring)
+        assert ring.shape[0] >= 4 and (ring[0] == ring[-1]).all()  # closed
+        assert r.wkt.startswith("POLYGON ((") and r.wkt.endswith("))")
+        rt = np.array(r.ring_rt)
+        assert rt.shape == ring.shape
+        assert np.abs(rt - ring).max() <= 6e-8
+        g = _json.loads(r.gj)
+        assert g["type"] == "Polygon"
+        gc = np.array(g["coordinates"][0])
+        assert gc.shape == ring.shape
+        assert np.abs(gc - ring).max() <= 6e-8
+        pts = ", ".join(f"{int(p[0] * 1e7)} {int(p[1] * 1e7)}" for p in ring)
+        assert r.wkt_fp == f"POLYGON (({pts}))"
+    empty = (
+        spark.createDataFrame([([],)], "ring: array<array<double>>")
+        .select(
+            gis.ring_to_wkt(F.col("ring")).alias("w"),
+            gis.ring_to_wkt_fixed(F.col("ring")).alias("wf"),
+            gis.wkt_polygon_ring(F.lit("not wkt")).alias("bad"),
+        )
+        .collect()[0]
+    )
+    assert empty.w == "POLYGON EMPTY" and empty.wf == "POLYGON EMPTY"
+    assert empty.bad == []
