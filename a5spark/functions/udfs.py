@@ -56,7 +56,9 @@ def a5_cell_to_boundary(cell: pd.Series) -> pd.Series:
     res = kser.get_resolution(cells)
     for r in np.unique(res):
         m = np.where(res == r)[0]
-        if r < 2:
+        if r < 0:
+            # WORLD_CELL is unbounded (reference core/cell.py:275-277);
+            # res 0/1 rings are real (face pentagon / quintant triangle)
             for i in m:
                 out[i] = []
             continue

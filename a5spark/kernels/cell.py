@@ -515,7 +515,7 @@ def _pentagon_for_cells(cells):
 
 
 def cell_to_boundary(cells, segments=None, closed_ring: bool = True):
-    """Vectorized cell.py:258-310 for a uniform-resolution batch (res >= 2).
+    """Vectorized cell.py:258-310 for a uniform-resolution batch (res >= 0).
 
     Returns (N, P, 2) lonlat rings (CCW, antimeridian-normalized, closed if
     closed_ring)."""

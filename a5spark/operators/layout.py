@@ -307,20 +307,27 @@ def optimize_cell_layout(
     the file granularity changes.
 
     Mechanics per bin (a maximal run of adjacent files each under
-    `min_file_bytes`, packed greedily to `target_file_bytes`): read the bin's
-    files, one-task sort on the key, write to an underscore-prefixed temp dir
-    (invisible to parquet readers), rename the result into the layout dir,
-    delete the bin's old files. Bins are independent — a production
-    maintenance scheduler runs them as parallel jobs; here they run
-    sequentially for determinism. The manifest is rebuilt and re-committed
-    once at the end, and `scan_cell_layout` reads files through the manifest,
-    so a crash mid-optimize leaves the previous manifest serving a consistent
-    (if partially duplicated on disk) view — the atomic-commit role an
-    Iceberg snapshot plays in production.
+    `min_file_bytes`, packed greedily to `target_file_bytes`), in
+    crash-safe order: (1) read the bin's files and write the one-task
+    key-sorted merge to an underscore-prefixed temp dir (invisible to
+    parquet readers); (2) rename the result into the layout dir; (3) commit
+    the manifest with the bin's entries swapped for the new file — the
+    MANIFEST WRITE is the bin's commit point; (4) delete the bin's old,
+    now-unreferenced files. A crash before (3) leaves the old manifest
+    serving the old (still present) files; a crash after (3) leaves the new
+    manifest serving the new file — `scan_cell_layout` reads through the
+    manifest, so every window is consistent. Either crash side can orphan
+    unreferenced data files; `vacuum_cell_layout` (run automatically at the
+    start of each optimize) reclaims them. Raw full-directory reads bypass
+    the manifest and are only duplicate-free after a vacuum — in production
+    the table format's snapshot plays this manifest's role atomically.
+    Bins are independent — a production maintenance scheduler runs them as
+    parallel jobs; here they run sequentially for determinism.
 
     Returns {files_before, files_after, bins, files_rewritten,
-    bytes_rewritten}.
+    bytes_rewritten, vacuumed}.
     """
+    stats_vacuumed = len(vacuum_cell_layout(spark, path))
     manifest = read_manifest(spark, path)
     key_col = manifest["key_col"]
     files = manifest["files"]  # sorted by lo == adjacency order
@@ -354,6 +361,7 @@ def optimize_cell_layout(
         "bins": len(bins),
         "files_rewritten": sum(len(b) for b in bins),
         "bytes_rewritten": sum(e["bytes"] for b in bins for e in b),
+        "vacuumed": stats_vacuumed,
     }
     if not bins:
         stats["files_after"] = len(files)
@@ -361,6 +369,7 @@ def optimize_cell_layout(
 
     fs, _, jvm = _fs(spark, path)
     tmp_root = f"{path}/_optimize_tmp"
+    current = list(files)
     for i, b in enumerate(bins):
         tmp_dir = f"{tmp_root}/bin-{i}"
         df = spark.read.parquet(*[f"{path}/{e['file']}" for e in b])
@@ -375,23 +384,81 @@ def optimize_cell_layout(
         ]
         assert len(part) == 1, f"expected one part file in {tmp_dir}"
         # unique per bin: the bin's first (lowest) key, hex of the shifted key
-        dest = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/opt-{(b[0]['lo'] + (1 << 63)) & _M64:016x}.parquet"
-        )
+        name = f"opt-{(b[0]['lo'] + (1 << 63)) & _M64:016x}.parquet"
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
         if fs.exists(dest):
             fs.delete(dest, False)
         fs.rename(part[0], dest)
+        # commit point: swap the bin's entries for the new file's entry
+        entry = _entry_for_file(
+            spark, path, name, key_col,
+            lo=b[0]["lo"], hi=b[-1]["hi"], rows=sum(e["rows"] for e in b),
+        )
+        bin_names = {e["file"] for e in b}
+        current = sorted(
+            [e for e in current if e["file"] not in bin_names] + [entry],
+            key=lambda e: e["lo"],
+        )
+        _write_text(
+            spark,
+            f"{path}/{MANIFEST_NAME}",
+            json.dumps({**manifest, "files": current}),
+        )
+        # old files are unreferenced as of the commit above
         for e in b:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False)
     _delete_dir(spark, tmp_root)
-
-    entries, source = _manifest_entries(spark, path, key_col)
-    manifest = {
-        "key_col": key_col,
-        "cell_col": manifest["cell_col"],
-        "source": source,
-        "files": sorted(entries, key=lambda e: e["lo"]),
-    }
-    _write_text(spark, f"{path}/{MANIFEST_NAME}", json.dumps(manifest))
-    stats["files_after"] = len(manifest["files"])
+    stats["files_after"] = len(current)
     return stats
+
+
+def _entry_for_file(
+    spark: SparkSession, path: str, name: str, key_col: str,
+    lo: int, hi: int, rows: int,
+) -> dict:
+    """Manifest entry for one just-written file: exact footer stats on a
+    local filesystem; on DFS/object stores the caller-supplied bin bounds
+    (exact by construction — the merged file holds precisely the bin's
+    rows) plus a getFileStatus for the size."""
+    local = _local_dir(path)
+    if local is not None and os.path.isdir(local):
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(local, name)
+        md = pq.ParquetFile(fp).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}[key_col]
+        los, his, n = [], [], 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            n += md.row_group(rg).num_rows
+            if st is not None and st.has_min_max:
+                los.append(int(st.min))
+                his.append(int(st.max))
+        return {
+            "file": name, "lo": min(los), "hi": max(his), "rows": n,
+            "row_groups": md.num_row_groups, "bytes": os.path.getsize(fp),
+        }
+    fs, _, jvm = _fs(spark, path)
+    st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"))
+    return {
+        "file": name, "lo": lo, "hi": hi, "rows": rows,
+        "row_groups": None, "bytes": int(st.getLen()),
+    }
+
+
+def vacuum_cell_layout(spark: SparkSession, path: str) -> list[str]:
+    """Delete data files not referenced by the manifest — leftovers of a
+    crashed optimize (a new file renamed in before its manifest commit, or
+    old files orphaned after it). The manifest is the layout's source of
+    truth; raw full-directory reads bypass it and are only guaranteed
+    duplicate-free after a vacuum. Returns the removed file names."""
+    manifest = read_manifest(spark, path)
+    keep = {e["file"] for e in manifest["files"]}
+    fs, p, _ = _fs(spark, path)
+    removed = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet") and name not in keep:
+            fs.delete(st.getPath(), False)
+            removed.append(name)
+    return removed

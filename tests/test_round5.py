@@ -410,6 +410,7 @@ def test_optimize_cell_layout_binpacks_and_preserves_scans(spark):
     # a trailing 1-file run may legitimately stay (bins need >= 2 files)
     assert stats["files_rewritten"] >= 14
     assert stats["files_after"] == 16 - stats["files_rewritten"] + stats["bins"]
+    assert stats["vacuumed"] == 0  # clean layout had nothing to reclaim
     # on-disk file set == manifest file set (old files deleted, tmp cleaned)
     on_disk = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
     assert on_disk == sorted(e["file"] for e in after["files"])
@@ -507,3 +508,62 @@ def test_wkt_geojson_roundtrip_and_fixed_parity(spark):
     )
     assert empty.w == "POLYGON EMPTY" and empty.wf == "POLYGON EMPTY"
     assert empty.bad == []
+
+
+def test_optimize_crash_windows_and_vacuum(spark):
+    """The per-bin manifest commit is the commit point: an unreferenced
+    data file in the layout dir (what either crash window can leave) does
+    not affect manifest-routed scans, and vacuum — run automatically at the
+    start of each optimize — reclaims it."""
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_crash"
+    shutil.rmtree(d, ignore_errors=True)
+    _build_layout(spark, n_files=4, path=d)
+    scan0, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    want = sorted(tuple(r) for r in scan0.collect())
+    assert len(want) > 0
+    src = layout.read_manifest(spark, d)["files"][0]["file"]
+    shutil.copyfile(f"{d}/{src}", f"{d}/opt-deadbeef.parquet")
+    scan1, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert sorted(tuple(r) for r in scan1.collect()) == want
+    removed = layout.vacuum_cell_layout(spark, d)
+    assert removed == ["opt-deadbeef.parquet"]
+    assert not os.path.exists(f"{d}/opt-deadbeef.parquet")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_boundary_udf_low_resolutions_match_reference(spark):
+    """res 0 (dodecahedron face) and res 1 (quintant) boundaries flow
+    through the Spark surface and match the reference scalar implementation
+    (the UDF previously returned [] below res 2; only WORLD_CELL, res -1,
+    is genuinely unbounded — reference core/cell.py:275-277)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.kernels.compact import uncompact
+    from a5spark.kernels.serialization import res0_cells, to_signed
+
+    sys.path.insert(0, "/root/reference")
+    from a5.core.cell import cell_to_boundary as ref
+
+    r0 = np.array(res0_cells()[:4], dtype=np.uint64)
+    r1 = uncompact(r0[:2], 1)
+    unsigned = np.concatenate([r0, r1])
+    cells = [int(c) for c in to_signed(unsigned)] + [0]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"]).coalesce(1)
+    rows = {
+        r.cell: r.ring
+        for r in df.select(
+            "cell", a5_cell_to_boundary(F.col("cell")).alias("ring")
+        ).collect()
+    }
+    assert rows[0] == []  # WORLD_CELL
+    for c_signed, c_unsigned in zip(cells[:-1], unsigned):
+        got = np.array(rows[c_signed])
+        want = np.array(ref(int(c_unsigned)))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-12
