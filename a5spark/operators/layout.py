@@ -390,9 +390,14 @@ def optimize_cell_layout(
             fs.delete(dest, False)
         fs.rename(part[0], dest)
         # commit point: swap the bin's entries for the new file's entry
+        # lo/hi via min/max, not first/last: appended batches may overlap
+        # older files' ranges, so lo-order adjacency does not imply b[-1]
+        # carries the bin's max key
         entry = _entry_for_file(
             spark, path, name, key_col,
-            lo=b[0]["lo"], hi=b[-1]["hi"], rows=sum(e["rows"] for e in b),
+            lo=min(e["lo"] for e in b),
+            hi=max(e["hi"] for e in b),
+            rows=sum(e["rows"] for e in b),
         )
         bin_names = {e["file"] for e in b}
         current = sorted(
@@ -414,12 +419,13 @@ def optimize_cell_layout(
 
 def _entry_for_file(
     spark: SparkSession, path: str, name: str, key_col: str,
-    lo: int, hi: int, rows: int,
-) -> dict:
-    """Manifest entry for one just-written file: exact footer stats on a
-    local filesystem; on DFS/object stores the caller-supplied bin bounds
-    (exact by construction — the merged file holds precisely the bin's
-    rows) plus a getFileStatus for the size."""
+    lo: int | None = None, hi: int | None = None, rows: int | None = None,
+) -> dict | None:
+    """Manifest entry for one just-written file, or None for an empty file.
+    Exact footer stats on a local filesystem; on DFS/object stores the
+    caller-supplied bounds when known (optimize bins are exact by
+    construction), else one single-file min/max/count scan (append batches;
+    in production the table format's commit metadata supplies this)."""
     local = _local_dir(path)
     if local is not None and os.path.isdir(local):
         import pyarrow.parquet as pq
@@ -434,12 +440,27 @@ def _entry_for_file(
             if st is not None and st.has_min_max:
                 los.append(int(st.min))
                 his.append(int(st.max))
+        if not los:
+            return None
         return {
             "file": name, "lo": min(los), "hi": max(his), "rows": n,
             "row_groups": md.num_row_groups, "bytes": os.path.getsize(fp),
         }
     fs, _, jvm = _fs(spark, path)
     st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"))
+    if lo is None or hi is None or rows is None:
+        r = (
+            spark.read.parquet(f"{path}/{name}")
+            .agg(
+                F.min(key_col).alias("lo"),
+                F.max(key_col).alias("hi"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        if r["rows"] == 0 or r["lo"] is None:
+            return None
+        lo, hi, rows = int(r["lo"]), int(r["hi"]), int(r["rows"])
     return {
         "file": name, "lo": lo, "hi": hi, "rows": rows,
         "row_groups": None, "bytes": int(st.getLen()),
@@ -462,3 +483,107 @@ def vacuum_cell_layout(spark: SparkSession, path: str) -> list[str]:
             fs.delete(st.getPath(), False)
             removed.append(name)
     return removed
+
+
+def append_cell_layout(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    n_files: int = 4,
+    write_options: dict | None = None,
+) -> dict:
+    """Append a batch of rows to an existing cell layout — the ingestion
+    half of the layout lifecycle (write → append* → optimize → vacuum →
+    scan). The batch is keyed, range-partitioned, and sorted like the
+    original write, landed via the same invisible-tmp-dir + rename + single
+    manifest commit protocol as optimize, so every crash window leaves the
+    manifest consistent and `vacuum_cell_layout` reclaims orphans.
+
+    IDEMPOTENT under retries when `batch_id` is supplied (the Structured
+    Streaming foreachBatch contract: a failed micro-batch is re-delivered
+    with the SAME id): a batch id already recorded in the manifest is a
+    no-op, which upgrades foreachBatch's at-least-once delivery to
+    exactly-once at the manifest — the role a table format's idempotent
+    commit plays in production.
+
+    Appended files' key ranges may overlap older files' (each batch is
+    sorted internally, not merged globally); scans stay correct because
+    file selection and pushed predicates are per-file, and a later
+    `optimize_cell_layout` restores locality by merging adjacent files.
+    """
+    spark = df.sparkSession
+    manifest = read_manifest(spark, path)
+    key_col = manifest["key_col"]
+    batches = manifest.get("batches", [])
+    if batch_id is None:
+        batch_id = (max(batches) + 1) if batches else 0
+    if batch_id in batches:
+        return {"batch_id": batch_id, "appended_files": 0, "rows": 0,
+                "skipped": True}
+
+    keyed = df.withColumn(key_col, native.shifted_key(F.col(manifest["cell_col"])))
+    tmp_dir = f"{path}/_append_tmp/b{batch_id}"
+    writer = (
+        keyed.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+    )
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(tmp_dir)
+
+    fs, _, jvm = _fs(spark, path)
+    parts = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ),
+        key=lambda p: p.getName(),
+    )
+    entries = []
+    for i, p in enumerate(parts):
+        name = f"b{batch_id:06d}-{i:05d}.parquet"
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        if fs.exists(dest):  # leftover of a crashed retry of this batch
+            fs.delete(dest, False)
+        fs.rename(p, dest)
+        e = _entry_for_file(spark, path, name, key_col)
+        if e is not None:  # empty part files carry no key range
+            entries.append(e)
+    _delete_dir(spark, f"{path}/_append_tmp")
+
+    manifest["files"] = sorted(manifest["files"] + entries, key=lambda e: e["lo"])
+    manifest["batches"] = sorted(batches + [batch_id])
+    _write_text(spark, f"{path}/{MANIFEST_NAME}", json.dumps(manifest))
+    return {
+        "batch_id": batch_id,
+        "appended_files": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "skipped": False,
+    }
+
+
+def stream_append_cell_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_files: int = 4,
+    available_now: bool = True,
+):
+    """Structured Streaming sink into a cell layout: foreachBatch routes
+    each micro-batch through `append_cell_layout(batch_id=...)`, whose
+    manifest-recorded batch ids make redelivered micro-batches no-ops —
+    exactly-once layout commits on top of the stream's own checkpointed
+    offsets. Returns the started StreamingQuery (availableNow by default:
+    drain the source, then stop — the batch-refresh production pattern)."""
+
+    def _sink(bdf, bid):
+        append_cell_layout(bdf, path, batch_id=int(bid), n_files=n_files)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -567,3 +567,76 @@ def test_boundary_udf_low_resolutions_match_reference(spark):
         want = np.array(ref(int(c_unsigned)))
         assert got.shape == want.shape
         assert np.abs(got - want).max() < 1e-12
+
+
+def test_streaming_append_and_optimize_lifecycle(spark):
+    """Full layout lifecycle: base write -> availableNow stream appends
+    micro-batches through the foreachBatch sink -> pruned scans stay exact
+    over base+appended rows -> a replayed batch id is a no-op (the
+    exactly-once commit) -> optimize restores locality -> vacuum finds
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _LAYOUT_COVER, _spark_cell9
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_append"
+    src, ckpt = f"{d}_src", f"{d}_ckpt"
+    for p in (d, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    base = df.filter(F.col("l_quantity") <= 25)
+    extra = df.filter(F.col("l_quantity") > 25)
+    layout.write_cell_layout(base, d, cell="cell", n_files=4)
+    extra.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(extra.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = layout.stream_append_cell_layout(stream, d, ckpt, n_files=2)
+    q.awaitTermination(180)
+
+    man = layout.read_manifest(spark, d)
+    n_batches = len(man.get("batches", []))
+    assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    total_rows = sum(e["rows"] for e in man["files"])
+    assert total_rows == df.count()
+
+    from a5spark.functions import native
+
+    keyed = df.withColumn("cell_key", native.shifted_key(F.col("cell")))
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    pred = reduce(
+        lambda a, b: a | b,
+        [F.col("cell_key").between(lo, hi) for lo, hi in ranges],
+    )
+    want = sorted(tuple(r) for r in keyed.filter(pred).collect())
+    scanned, stats = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert sorted(tuple(r) for r in scanned.collect()) == want
+    assert 0 < stats["files_selected"] <= stats["files_total"]
+
+    # replaying an already-committed batch id must be a no-op
+    replay = layout.append_cell_layout(extra.limit(10), d, batch_id=0)
+    assert replay["skipped"] and replay["appended_files"] == 0
+    man2 = layout.read_manifest(spark, d)
+    assert man2["files"] == man["files"] and man2["batches"] == man["batches"]
+
+    # optimize the accreted small files; scans stay exact; vacuum is clean
+    total_bytes = sum(e["bytes"] for e in man2["files"])
+    stats_opt = layout.optimize_cell_layout(
+        spark, d, target_file_bytes=total_bytes + 1,
+        min_file_bytes=max(e["bytes"] for e in man2["files"]) + 1,
+    )
+    assert stats_opt["files_after"] < stats_opt["files_before"]
+    scanned2, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert sorted(tuple(r) for r in scanned2.collect()) == want
+    assert layout.vacuum_cell_layout(spark, d) == []
+    man3 = layout.read_manifest(spark, d)
+    assert sum(e["rows"] for e in man3["files"]) == total_rows
+    assert man3["batches"] == man["batches"]  # ingestion history survives
+    for p in (d, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
