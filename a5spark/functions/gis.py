@@ -66,9 +66,9 @@ def ring_to_geojson(ring: Column, precision: int = 7) -> Column:
 
 
 def wkt_polygon_ring(wkt: Column) -> Column:
-    """Outer ring of a simple (hole-free) `POLYGON ((...))` WKT string as
-    `array<array<double>>` — the inverse of `ring_to_wkt`, for polygon
-    layers that arrive as WKT columns and feed the polyfill/PIP operators.
+    """Outer ring of a `POLYGON ((...))` WKT string as
+    `array<array<double>>` — the inverse of `ring_to_wkt`. See
+    `wkt_polygon_rings` for the all-rings (holes included) variant.
     Unparseable strings yield an empty array (callers filter on size)."""
     inner = F.regexp_extract(wkt, r"POLYGON\s*\(\(([^)]*)\)\)", 1)
     pts = F.split(inner, r"\s*,\s*")
@@ -79,6 +79,29 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     return F.when(F.length(inner) == 0, F.array().cast("array<array<double>>")).otherwise(
         parsed
     )
+
+
+def wkt_polygon_rings(wkt: Column) -> Column:
+    """ALL rings of a `POLYGON ((outer), (hole), ...)` WKT string as
+    `array<array<array<double>>>` (outer ring first, then holes) — the
+    shape `operators.polygons.polyfill_cover` consumes as JSON. Rings
+    shorter than 3 points (including parse failures) are dropped;
+    non-POLYGON strings yield an empty array."""
+    body = F.regexp_extract(wkt, r"POLYGON\s*\((.*)\)\s*$", 1)
+    raw_rings = F.split(body, r"\)\s*,\s*\(")
+    parsed = F.transform(
+        raw_rings,
+        lambda ring: F.transform(
+            F.split(F.regexp_replace(ring, r"[()]", ""), r"\s*,\s*"),
+            lambda s: F.transform(
+                F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")
+            ),
+        ),
+    )
+    kept = F.filter(parsed, lambda ring: F.size(ring) >= 3)
+    return F.when(
+        F.length(body) == 0, F.array().cast("array<array<array<double>>>")
+    ).otherwise(kept)
 
 
 def cell_to_boundary_wkt(cell: Column, precision: int = 7) -> Column:

@@ -269,3 +269,22 @@ def _pip_refine_collected(
             yield pdf.loc[keep]
 
     return df.mapInPandas(refine, schema)
+
+
+def polyfill_cover_wkt(
+    polygons: DataFrame,
+    resolution: int,
+    id_col: str = "polygon_id",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """`polyfill_cover` for polygon layers that arrive as WKT strings (the
+    common interchange shape out of PostGIS/GeoPandas exports): the WKT is
+    parsed to rings JVM-side (functions.gis.wkt_polygon_rings — holes
+    included, pure Catalyst) and handed to the same per-polygon fill.
+    Rows whose WKT parses to no usable ring produce no cover rows."""
+    from a5spark.functions.gis import wkt_polygon_rings
+
+    withrings = polygons.withColumn(
+        "rings_json", F.to_json(wkt_polygon_rings(F.col(wkt_col)))
+    ).filter(F.col("rings_json") != F.lit("[]"))
+    return polyfill_cover(withrings, resolution, id_col=id_col)

@@ -640,3 +640,49 @@ def test_streaming_append_and_optimize_lifecycle(spark):
     assert man3["batches"] == man["batches"]  # ingestion history survives
     for p in (d, src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_polyfill_cover_wkt_matches_json_rings(spark):
+    """A WKT polygon layer (holes included) polyfills identically to the
+    same layer supplied as JSON rings; unparseable WKT rows drop out."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.polygons import polyfill_cover, polyfill_cover_wkt
+
+    quad = [[-0.5, 51.2], [0.3, 51.2], [0.3, 51.7], [-0.5, 51.7], [-0.5, 51.2]]
+    outer = [[12.0, 40.0], [16.0, 40.0], [16.0, 44.0], [12.0, 44.0], [12.0, 40.0]]
+    hole = [[13.0, 41.0], [15.0, 41.0], [15.0, 43.0], [13.0, 43.0], [13.0, 41.0]]
+
+    def wkt_of(rings):
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{p[0]} {p[1]}" for p in ring) + ")" for ring in rings
+        ) + ")"
+
+    layers = [("quad", [quad]), ("holed", [outer, hole])]
+    jdf = spark.createDataFrame(
+        [(pid, _json.dumps(rings)) for pid, rings in layers],
+        ["polygon_id", "rings_json"],
+    )
+    wdf = spark.createDataFrame(
+        [(pid, wkt_of(rings)) for pid, rings in layers]
+        + [("garbage", "LINESTRING (0 0, 1 1)")],
+        ["polygon_id", "wkt"],
+    )
+    want = sorted(tuple(r) for r in polyfill_cover(jdf, 7).collect())
+    got = sorted(tuple(r) for r in polyfill_cover_wkt(wdf, 7).collect())
+    assert got == want and len(want) > 0
+    assert not any(r[0] == "garbage" for r in got)
+    # the hole actually bites: holed cover != outer-only cover
+    outer_only = spark.createDataFrame(
+        [("holed", _json.dumps([outer]))], ["polygon_id", "rings_json"]
+    )
+    no_hole = sorted(tuple(r) for r in polyfill_cover(outer_only, 9).collect())
+    holed9 = sorted(
+        tuple(r)
+        for r in polyfill_cover_wkt(
+            wdf.filter(F.col("polygon_id") == "holed"), 9
+        ).collect()
+    )
+    assert len(holed9) > 0 and holed9 != no_hole
