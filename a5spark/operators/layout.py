@@ -140,8 +140,7 @@ def write_cell_layout(
         "source": source,
         "files": sorted(entries, key=lambda e: e["lo"]),
     }
-    _write_text(spark, f"{path}/{MANIFEST_NAME}", json.dumps(manifest))
-    return manifest
+    return _commit_manifest(spark, path, manifest)
 
 
 def _local_dir(path: str) -> str | None:
@@ -220,8 +219,34 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
     )
 
 
-def read_manifest(spark: SparkSession, path: str) -> dict:
-    return json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
+VERSIONS_DIR = "_versions"
+
+
+def _commit_manifest(spark: SparkSession, path: str, manifest: dict) -> dict:
+    """Commit a new manifest version: bump the version counter, persist the
+    versioned copy under _versions/ (the snapshot log an Iceberg/Delta
+    table keeps natively), then overwrite the current pointer. The current-
+    pointer write is the commit point; the versioned copy enables time
+    travel (`read_manifest(version=)`) and retention-aware vacuum."""
+    manifest = {**manifest, "version": manifest.get("version", -1) + 1}
+    text = json.dumps(manifest)
+    _write_text(
+        spark, f"{path}/{VERSIONS_DIR}/v{manifest['version']:06d}.json", text
+    )
+    _write_text(spark, f"{path}/{MANIFEST_NAME}", text)
+    return manifest
+
+
+def read_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """Current manifest, or a specific committed version (time travel —
+    valid as long as vacuum's retention window still covers it)."""
+    if version is None:
+        return json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
+    return json.loads(
+        _read_text(spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json")
+    )
 
 
 def _select_files(manifest: dict, ranges: list[tuple[int, int]]):
@@ -247,6 +272,7 @@ def scan_cell_layout(
     path: str,
     cover_cells,
     max_predicate_ranges: int = 256,
+    version: int | None = None,
 ):
     """Pruned scan of a cell layout through a cover: returns (DataFrame,
     stats). Files are pruned on the driver via the manifest; within the
@@ -256,13 +282,18 @@ def scan_cell_layout(
     broadcast range join (file pruning still applies; row-group pruning is
     traded away for a bounded predicate tree).
 
+    `version` pins the scan to a committed manifest version (time travel /
+    snapshot isolation across concurrent maintenance — valid while vacuum's
+    retention window covers it).
+
     stats = {files_total, files_selected, rows_total, rows_in_selected_files,
-             n_ranges, strategy} — the scan-cost evidence."""
-    manifest = read_manifest(spark, path)
+             n_ranges, strategy, version} — the scan-cost evidence."""
+    manifest = read_manifest(spark, path, version=version)
     key_col = manifest["key_col"]
     ranges = cover_key_ranges(cover_cells)
     selected = _select_files(manifest, ranges)
     stats = {
+        "version": manifest.get("version"),
         "files_total": len(manifest["files"]),
         "files_selected": len(selected),
         "rows_total": sum(e["rows"] for e in manifest["files"]),
@@ -293,6 +324,7 @@ def optimize_cell_layout(
     target_file_bytes: int = 128 << 20,
     min_file_bytes: int | None = None,
     write_options: dict | None = None,
+    retain_old: bool = False,
 ) -> dict:
     """Bin-pack a cell layout's small files into ~target-size files without
     breaking the clustering invariant — the maintenance half of the layout
@@ -324,10 +356,17 @@ def optimize_cell_layout(
     Bins are independent — a production maintenance scheduler runs them as
     parallel jobs; here they run sequentially for determinism.
 
+    With `retain_old=True` step (4) is skipped: old files stay on disk so
+    readers pinned to an earlier manifest version (scan_cell_layout
+    version=) keep working across the maintenance — snapshot isolation —
+    and a later `vacuum_cell_layout(retain_versions=...)` reclaims them
+    once the retention window moves past. Each bin commit is a manifest
+    VERSION, so the whole optimize is a chain of small reversible commits.
+
     Returns {files_before, files_after, bins, files_rewritten,
     bytes_rewritten, vacuumed}.
     """
-    stats_vacuumed = len(vacuum_cell_layout(spark, path))
+    stats_vacuumed = 0 if retain_old else len(vacuum_cell_layout(spark, path))
     manifest = read_manifest(spark, path)
     key_col = manifest["key_col"]
     files = manifest["files"]  # sorted by lo == adjacency order
@@ -404,14 +443,13 @@ def optimize_cell_layout(
             [e for e in current if e["file"] not in bin_names] + [entry],
             key=lambda e: e["lo"],
         )
-        _write_text(
-            spark,
-            f"{path}/{MANIFEST_NAME}",
-            json.dumps({**manifest, "files": current}),
-        )
-        # old files are unreferenced as of the commit above
-        for e in b:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False)
+        manifest = _commit_manifest(spark, path, {**manifest, "files": current})
+        if not retain_old:
+            # old files are unreferenced by CURRENT as of the commit above
+            for e in b:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False
+                )
     _delete_dir(spark, tmp_root)
     stats["files_after"] = len(current)
     return stats
@@ -467,15 +505,38 @@ def _entry_for_file(
     }
 
 
-def vacuum_cell_layout(spark: SparkSession, path: str) -> list[str]:
-    """Delete data files not referenced by the manifest — leftovers of a
-    crashed optimize (a new file renamed in before its manifest commit, or
-    old files orphaned after it). The manifest is the layout's source of
+def vacuum_cell_layout(
+    spark: SparkSession, path: str, retain_versions: int = 1
+) -> list[str]:
+    """Delete data files not referenced by any RETAINED manifest version:
+    leftovers of a crashed optimize/append, or old files kept by
+    `retain_old` maintenance. `retain_versions` is the time-travel window —
+    files referenced by any of the last N committed versions survive, and
+    version files older than the window are pruned so expired versions
+    cannot be silently half-read. The manifest is the layout's source of
     truth; raw full-directory reads bypass it and are only guaranteed
-    duplicate-free after a vacuum. Returns the removed file names."""
+    duplicate-free after a vacuum. Returns the removed data-file names."""
     manifest = read_manifest(spark, path)
-    keep = {e["file"] for e in manifest["files"]}
-    fs, p, _ = _fs(spark, path)
+    current_v = manifest.get("version", 0)
+    retained = [manifest]
+    fs, p, jvm = _fs(spark, path)
+    for v in range(max(0, current_v - retain_versions + 1), current_v):
+        try:
+            retained.append(read_manifest(spark, path, version=v))
+        except Exception:
+            pass  # legacy layout without a version log
+    keep = {e["file"] for m in retained for e in m["files"]}
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{VERSIONS_DIR}")
+    if fs.exists(vdir):
+        for st in fs.listStatus(vdir):
+            vname = st.getPath().getName()
+            if vname.startswith("v") and vname.endswith(".json"):
+                try:
+                    vnum = int(vname[1:-5])
+                except ValueError:
+                    continue
+                if vnum <= current_v - retain_versions:
+                    fs.delete(st.getPath(), False)
     removed = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
@@ -555,7 +616,7 @@ def append_cell_layout(
 
     manifest["files"] = sorted(manifest["files"] + entries, key=lambda e: e["lo"])
     manifest["batches"] = sorted(batches + [batch_id])
-    _write_text(spark, f"{path}/{MANIFEST_NAME}", json.dumps(manifest))
+    _commit_manifest(spark, path, manifest)
     return {
         "batch_id": batch_id,
         "appended_files": len(entries),

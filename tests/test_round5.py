@@ -686,3 +686,51 @@ def test_polyfill_cover_wkt_matches_json_rings(spark):
         ).collect()
     )
     assert len(holed9) > 0 and holed9 != no_hole
+
+
+def test_layout_time_travel_and_retention_vacuum(spark):
+    """Versioned manifest commits: optimize(retain_old=True) leaves a
+    reader pinned to the pre-maintenance version a fully consistent view
+    (snapshot isolation), time travel reproduces the old answer exactly,
+    and vacuum with a 1-version window reclaims the superseded files and
+    prunes expired version logs."""
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_tt"
+    shutil.rmtree(d, ignore_errors=True)
+    man0 = _build_layout(spark, n_files=6, path=d)
+    assert man0["version"] == 0
+    scan0, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    want = sorted(tuple(r) for r in scan0.collect())
+    assert len(want) > 0
+    sizes = [e["bytes"] for e in man0["files"]]
+
+    stats = layout.optimize_cell_layout(
+        spark, d, target_file_bytes=sum(sizes) + 1,
+        min_file_bytes=max(sizes) + 1, retain_old=True,
+    )
+    assert stats["bins"] >= 1 and stats["files_rewritten"] == 6
+    man1 = layout.read_manifest(spark, d)
+    assert man1["version"] == stats["bins"]  # one version per bin commit
+    old_names = {e["file"] for e in man0["files"]}
+    assert all(os.path.exists(f"{d}/{n}") for n in old_names)  # retained
+
+    # pinned reader: the pre-maintenance version still answers, identically
+    scan_v0, st_v0 = layout.scan_cell_layout(spark, d, _LAYOUT_COVER, version=0)
+    assert st_v0["version"] == 0
+    assert sorted(tuple(r) for r in scan_v0.collect()) == want
+    scan_cur, st_cur = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert st_cur["version"] == man1["version"]
+    assert sorted(tuple(r) for r in scan_cur.collect()) == want
+
+    # retention vacuum: superseded files reclaimed, expired versions pruned
+    removed = layout.vacuum_cell_layout(spark, d, retain_versions=1)
+    new_names = {e["file"] for e in man1["files"]}
+    assert set(removed) == old_names - new_names
+    assert not any(os.path.exists(f"{d}/{n}") for n in set(removed))
+    with pytest.raises(Exception):
+        layout.read_manifest(spark, d, version=0)
+    scan_after, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert sorted(tuple(r) for r in scan_after.collect()) == want
+    shutil.rmtree(d, ignore_errors=True)
