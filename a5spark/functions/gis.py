@@ -116,3 +116,16 @@ def cell_to_boundary_geojson(cell: Column, precision: int = 7) -> Column:
     from a5spark.functions.udfs import a5_cell_to_boundary
 
     return ring_to_geojson(a5_cell_to_boundary(cell), precision)
+
+
+def geojson_polygon_rings(geojson: Column) -> Column:
+    """ALL rings of a GeoJSON `Polygon` geometry string as
+    `array<array<array<double>>>` (outer ring first, then holes) — the
+    inverse of `ring_to_geojson` and the second common interchange shape
+    next to WKT. Parsed with from_json against the GeoJSON Polygon schema;
+    non-Polygon types and malformed JSON yield an empty array."""
+    schema = "type STRING, coordinates ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+    g = F.from_json(geojson, schema)
+    return F.when(
+        g["type"] == "Polygon", F.coalesce(g["coordinates"], F.array())
+    ).otherwise(F.array().cast("array<array<array<double>>>"))

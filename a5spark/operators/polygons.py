@@ -288,3 +288,21 @@ def polyfill_cover_wkt(
         "rings_json", F.to_json(wkt_polygon_rings(F.col(wkt_col)))
     ).filter(F.col("rings_json") != F.lit("[]"))
     return polyfill_cover(withrings, resolution, id_col=id_col)
+
+
+def polyfill_cover_geojson(
+    polygons: DataFrame,
+    resolution: int,
+    id_col: str = "polygon_id",
+    geojson_col: str = "geojson",
+) -> DataFrame:
+    """`polyfill_cover` for polygon layers arriving as GeoJSON geometry
+    strings (functions.gis.geojson_polygon_rings — holes included,
+    from_json in Catalyst). Non-Polygon or malformed rows produce no
+    cover rows."""
+    from a5spark.functions.gis import geojson_polygon_rings
+
+    withrings = polygons.withColumn(
+        "rings_json", F.to_json(geojson_polygon_rings(F.col(geojson_col)))
+    ).filter(F.col("rings_json") != F.lit("[]"))
+    return polyfill_cover(withrings, resolution, id_col=id_col)

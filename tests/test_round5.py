@@ -734,3 +734,44 @@ def test_layout_time_travel_and_retention_vacuum(spark):
     scan_after, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
     assert sorted(tuple(r) for r in scan_after.collect()) == want
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_polyfill_cover_geojson_matches_json_rings(spark):
+    """A GeoJSON polygon layer (holes included) polyfills identically to
+    JSON rings; ring_to_geojson output round-trips through the parser;
+    non-Polygon and malformed rows drop out."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.operators.polygons import polyfill_cover, polyfill_cover_geojson
+
+    quad = [[-0.5, 51.2], [0.3, 51.2], [0.3, 51.7], [-0.5, 51.7], [-0.5, 51.2]]
+    outer = [[12.0, 40.0], [16.0, 40.0], [16.0, 44.0], [12.0, 44.0], [12.0, 40.0]]
+    hole = [[13.0, 41.0], [15.0, 41.0], [15.0, 43.0], [13.0, 43.0], [13.0, 41.0]]
+    layers = [("quad", [quad]), ("holed", [outer, hole])]
+    jdf = spark.createDataFrame(
+        [(pid, _json.dumps(rings)) for pid, rings in layers],
+        ["polygon_id", "rings_json"],
+    )
+    gdf = spark.createDataFrame(
+        [
+            (pid, _json.dumps({"type": "Polygon", "coordinates": rings}))
+            for pid, rings in layers
+        ]
+        + [("pt", '{"type":"Point","coordinates":[1.0,2.0]}'), ("bad", "{oops")],
+        ["polygon_id", "geojson"],
+    )
+    want = sorted(tuple(r) for r in polyfill_cover(jdf, 7).collect())
+    got = sorted(tuple(r) for r in polyfill_cover_geojson(gdf, 7).collect())
+    assert got == want and len(want) > 0
+    assert not any(r[0] in ("pt", "bad") for r in got)
+    # export -> parse round-trip: ring_to_geojson output re-parses to the ring
+    ring = [[float(x), float(y)] for x, y in quad]
+    rdf = spark.createDataFrame([(ring,)], "ring: array<array<double>>")
+    rt = rdf.select(
+        gis.geojson_polygon_rings(gis.ring_to_geojson(F.col("ring"))).alias("rings")
+    ).collect()[0].rings
+    assert len(rt) == 1
+    assert np.abs(np.array(rt[0]) - np.array(ring)).max() <= 6e-8
