@@ -2819,6 +2819,7 @@ SNAPSHOT_QUERIES = (
     "line_trace",
     "s2_crossindex",
     "tile_pyramid",
+    "boundary_wkt",
 )
 
 ORACLES = {

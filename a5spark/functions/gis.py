@@ -70,7 +70,9 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     `array<array<double>>` — the inverse of `ring_to_wkt`. See
     `wkt_polygon_rings` for the all-rings (holes included) variant.
     Unparseable strings yield an empty array (callers filter on size)."""
-    inner = F.regexp_extract(wkt, r"POLYGON\s*\(\(([^)]*)\)\)", 1)
+    # anchored: MULTIPOLYGON contains the substring POLYGON and must NOT
+    # half-match (its second polygon would otherwise parse as a hole)
+    inner = F.regexp_extract(wkt, r"^\s*POLYGON\s*\(\(([^)]*)\)\)", 1)
     pts = F.split(inner, r"\s*,\s*")
     parsed = F.transform(
         pts,
@@ -87,7 +89,8 @@ def wkt_polygon_rings(wkt: Column) -> Column:
     shape `operators.polygons.polyfill_cover` consumes as JSON. Rings
     shorter than 3 points (including parse failures) are dropped;
     non-POLYGON strings yield an empty array."""
-    body = F.regexp_extract(wkt, r"POLYGON\s*\((.*)\)\s*$", 1)
+    # anchored — see wkt_polygon_ring: MULTIPOLYGON must not half-match
+    body = F.regexp_extract(wkt, r"^\s*POLYGON\s*\((.*)\)\s*$", 1)
     raw_rings = F.split(body, r"\)\s*,\s*\(")
     parsed = F.transform(
         raw_rings,

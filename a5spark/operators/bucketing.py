@@ -35,9 +35,6 @@ Spark specifics this module encodes:
 
 from pyspark.sql import DataFrame, SparkSession
 
-BUCKETING_CONF = "spark.sql.sources.bucketing.enabled"
-
-
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -233,7 +233,17 @@ def _commit_manifest(spark: SparkSession, path: str, manifest: dict) -> dict:
     _write_text(
         spark, f"{path}/{VERSIONS_DIR}/v{manifest['version']:06d}.json", text
     )
-    _write_text(spark, f"{path}/{MANIFEST_NAME}", text)
+    # the current pointer must never be observable half-written: land it
+    # under a temp name and rename over (delete-then-rename on filesystems
+    # without atomic replace — the versioned copy above plus read_manifest's
+    # recovery scan covers the delete..rename window)
+    fs, _, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.{MANIFEST_NAME}.tmp")
+    cur = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_NAME}")
+    _write_text(spark, f"{path}/.{MANIFEST_NAME}.tmp", text)
+    if fs.exists(cur):
+        fs.delete(cur, False)
+    fs.rename(tmp, cur)
     return manifest
 
 
@@ -241,12 +251,33 @@ def read_manifest(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict:
     """Current manifest, or a specific committed version (time travel —
-    valid as long as vacuum's retention window still covers it)."""
-    if version is None:
+    valid as long as vacuum's retention window still covers it). A missing
+    or torn current pointer (crash inside a commit) recovers from the
+    highest committed version log."""
+    if version is not None:
+        return json.loads(
+            _read_text(spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json")
+        )
+    try:
         return json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
-    return json.loads(
-        _read_text(spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json")
-    )
+    except Exception:
+        fs, _, jvm = _fs(spark, path)
+        vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{VERSIONS_DIR}")
+        if not fs.exists(vdir):
+            raise
+        best = -1
+        for st in fs.listStatus(vdir):
+            n = st.getPath().getName()
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[1:-5]))
+                except ValueError:
+                    pass
+        if best < 0:
+            raise
+        return json.loads(
+            _read_text(spark, f"{path}/{VERSIONS_DIR}/v{best:06d}.json")
+        )
 
 
 def _select_files(manifest: dict, ranges: list[tuple[int, int]]):
@@ -422,10 +453,21 @@ def optimize_cell_layout(
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
         assert len(part) == 1, f"expected one part file in {tmp_dir}"
-        # unique per bin: the bin's first (lowest) key, hex of the shifted key
-        name = f"opt-{(b[0]['lo'] + (1 << 63)) & _M64:016x}.parquet"
+        # unique per COMMIT: the next manifest version + the bin's lowest
+        # key. A key-only name collides when a re-optimize re-bins an
+        # earlier opt- file with the same lo — the old code would then
+        # overwrite that still-referenced file in place (corrupting
+        # retained snapshots) and the delete loop below would remove the
+        # freshly committed file (data loss). Version-prefixed names are
+        # never re-bin targets of themselves and never collide with
+        # committed files (versions only grow, even across crashes).
+        name = (
+            f"opt-v{manifest.get('version', -1) + 1:06d}-"
+            f"{(min(e['lo'] for e in b) + (1 << 63)) & _M64:016x}.parquet"
+        )
+        assert name not in {e["file"] for e in b}
         dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-        if fs.exists(dest):
+        if fs.exists(dest):  # uncommitted leftover of a crashed run only
             fs.delete(dest, False)
         fs.rename(part[0], dest)
         # commit point: swap the bin's entries for the new file's entry

@@ -180,17 +180,32 @@ def _matmul_broadcast(
                 chunk = p_mat[lo : lo + 8192]
                 scores = mat @ chunk.T  # (Q, B)
                 kk = min(k, chunk.shape[0])
-                # keep every point scoring >= the kth best in this chunk —
-                # INCLUDING boundary ties. argpartition alone would pick an
-                # arbitrary kk among tied scores, silently dropping the
-                # smaller-id tied points the global (score DESC, id ASC)
-                # window is contracted to prefer; keeping the whole boundary
-                # tie group preserves exact SQL row_number semantics at a
-                # candidate-volume cost of only the tie width.
+                # exact top-kk per chunk under the global (score DESC,
+                # id ASC) contract. argpartition alone would pick an
+                # arbitrary kk among kth-score ties, dropping smaller-id
+                # tied points the SQL row_number prefers — but keeping the
+                # WHOLE tie group is unbounded (a duplicate-heavy corpus
+                # can tie an entire chunk, emitting O(B) per query). So:
+                # resolve the boundary tie group by id ASC and emit exactly
+                # kk — sufficient, because at most kk rows of any chunk can
+                # reach the global top-k.
                 kth = np.partition(scores, scores.shape[1] - kk, axis=1)[
                     :, scores.shape[1] - kk
                 ]
-                qi_idx, pj_idx = np.nonzero(scores >= kth[:, None])
+                mask = scores >= kth[:, None]
+                counts = mask.sum(axis=1)
+                spill = np.nonzero(counts > kk)[0]
+                if spill.size:
+                    chunk_ids = p_ids[lo : lo + chunk.shape[0]]
+                    order = np.argsort(chunk_ids, kind="stable")
+                    rank = np.empty(chunk.shape[0], dtype=np.int64)
+                    rank[order] = np.arange(chunk.shape[0])
+                    for qi in spill:
+                        tie_cols = np.nonzero(scores[qi] == kth[qi])[0]
+                        need = kk - int((scores[qi] > kth[qi]).sum())
+                        keep_order = np.argsort(rank[tie_cols], kind="stable")
+                        mask[qi, tie_cols[keep_order[need:]]] = False
+                qi_idx, pj_idx = np.nonzero(mask)
                 out_q.extend(ids[qi_idx])
                 out_p.extend(p_ids[lo + pj_idx])
                 out_s.extend(scores[qi_idx, pj_idx])

@@ -775,3 +775,125 @@ def test_polyfill_cover_geojson_matches_json_rings(spark):
     ).collect()[0].rings
     assert len(rt) == 1
     assert np.abs(np.array(rt[0]) - np.array(ring)).max() <= 6e-8
+
+
+def test_matmul_topk_tie_group_bounded_and_exact(spark):
+    """An all-ties corpus (identical vectors, so every chunk score equals
+    the kth) must (a) emit exactly Q*k candidates — the old keep-the-whole-
+    tie-group path emitted O(n_points) per query — and (b) still resolve
+    the boundary by id ASC, matching SQL row_number semantics, including
+    for string ids."""
+    from a5spark.operators.similarity import _matmul_broadcast, brute_force_topk
+
+    vec = [1.0, 0.0, 0.5]
+    ids = [f"p{i:03d}" for i in range(40)]
+    pts = spark.createDataFrame(
+        [(i, vec) for i in ids], ["vec_id", "embedding"]
+    ).coalesce(1)
+    qs = spark.createDataFrame(
+        [(f"q{j}", vec) for j in range(3)], ["q_id", "embedding"]
+    )
+    # prepped single-partition points -> exactly ONE scoring batch, so the
+    # per-batch bound is observable: k per query, not the 40-wide tie group
+    cand = _matmul_broadcast(
+        qs, pts, 3, "q_id", "vec_id", "embedding", False, 1000, prepped=True
+    )
+    assert cand.count() == 3 * 3
+    top = brute_force_topk(qs, pts, k=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append(r.vec_id)
+    for q, got in by_q.items():
+        assert sorted(got) == ["p000", "p001", "p002"], (q, got)
+
+
+def test_reoptimize_rebins_opt_files_without_data_loss(spark):
+    """Re-optimizing a layout whose bins CONTAIN earlier opt- files must
+    not collide names (the old key-derived name deleted the freshly
+    committed merge — permanent data loss): version-prefixed names make
+    every commit unique. Scan parity and total rows must survive two
+    rounds of maintenance."""
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_reopt"
+    shutil.rmtree(d, ignore_errors=True)
+    man0 = _build_layout(spark, n_files=16, path=d)
+    total_rows = sum(e["rows"] for e in man0["files"])
+    scan0, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    want = sorted(tuple(r) for r in scan0.collect())
+
+    sizes = [e["bytes"] for e in man0["files"]]
+    s1 = layout.optimize_cell_layout(
+        spark, d, target_file_bytes=int(sum(sizes) / 4 * 1.05),
+        min_file_bytes=max(sizes) + 1,
+    )
+    assert s1["files_after"] < 16
+    man1 = layout.read_manifest(spark, d)
+    # second round: every surviving file (incl. opt- merges) is re-binnable
+    s2 = layout.optimize_cell_layout(
+        spark, d,
+        target_file_bytes=sum(e["bytes"] for e in man1["files"]) + 1,
+        min_file_bytes=max(e["bytes"] for e in man1["files"]) + 1,
+    )
+    assert s2["files_after"] < s1["files_after"]
+    man2 = layout.read_manifest(spark, d)
+    assert sum(e["rows"] for e in man2["files"]) == total_rows  # no loss
+    for e in man2["files"]:
+        assert os.path.exists(f"{d}/{e['file']}")
+    scan2, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    assert sorted(tuple(r) for r in scan2.collect()) == want
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_torn_manifest_pointer_recovers_from_version_log(spark):
+    """A crash inside the pointer swap (empty/corrupt/missing current
+    manifest) must not brick the layout: read_manifest falls back to the
+    highest committed version log."""
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cell_layout_r5_torn"
+    shutil.rmtree(d, ignore_errors=True)
+    _build_layout(spark, n_files=4, path=d)
+    layout.append_cell_layout(
+        spark.read.parquet(f"{d}/{layout.read_manifest(spark, d)['files'][0]['file']}")
+        .drop("cell_key")
+        .limit(5),
+        d,
+    )
+    good = layout.read_manifest(spark, d)
+    scan_good, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    want = sorted(tuple(r) for r in scan_good.collect())
+    for torn in ("", "{half"):
+        with open(f"{d}/{layout.MANIFEST_NAME}", "w") as f:
+            f.write(torn)
+        rec = layout.read_manifest(spark, d)
+        assert rec == good
+        scan_rec, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+        assert sorted(tuple(r) for r in scan_rec.collect()) == want
+    os.remove(f"{d}/{layout.MANIFEST_NAME}")
+    assert layout.read_manifest(spark, d) == good
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wkt_multipolygon_yields_no_cover(spark):
+    """MULTIPOLYGON contains the substring POLYGON; the anchored parsers
+    must reject it (the unanchored ones mis-parsed polygon 2 as a HOLE of
+    polygon 1 — silently wrong covers)."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.operators.polygons import polyfill_cover_wkt
+
+    mp = (
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((10 10, 14 10, 14 14, 10 14, 10 10)))"
+    )
+    df = spark.createDataFrame([("mp", mp)], ["polygon_id", "wkt"])
+    out = df.select(
+        gis.wkt_polygon_ring(F.col("wkt")).alias("ring"),
+        gis.wkt_polygon_rings(F.col("wkt")).alias("rings"),
+    ).collect()[0]
+    assert out.ring == [] and out.rings == []
+    assert polyfill_cover_wkt(df, 7).count() == 0
