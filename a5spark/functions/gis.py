@@ -72,11 +72,16 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     Unparseable strings yield an empty array (callers filter on size)."""
     # anchored: MULTIPOLYGON contains the substring POLYGON and must NOT
     # half-match (its second polygon would otherwise parse as a hole)
-    inner = F.regexp_extract(wkt, r"^\s*POLYGON\s*\(\(([^)]*)\)\)", 1)
+    inner = F.regexp_extract(wkt, r"^\s*POLYGON\s*(?:ZM|Z|M)?\s*\(\(([^)]*)\)\)", 1)
     pts = F.split(inner, r"\s*,\s*")
     parsed = F.transform(
         pts,
-        lambda s: F.transform(F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")),
+        # slice to lon/lat: POLYGON Z / M variants carry extra ordinates
+        lambda s: F.slice(
+            F.transform(F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")),
+            1,
+            2,
+        ),
     )
     return F.when(F.length(inner) == 0, F.array().cast("array<array<double>>")).otherwise(
         parsed
@@ -90,14 +95,19 @@ def wkt_polygon_rings(wkt: Column) -> Column:
     shorter than 3 points (including parse failures) are dropped;
     non-POLYGON strings yield an empty array."""
     # anchored — see wkt_polygon_ring: MULTIPOLYGON must not half-match
-    body = F.regexp_extract(wkt, r"^\s*POLYGON\s*\((.*)\)\s*$", 1)
+    body = F.regexp_extract(wkt, r"^\s*POLYGON\s*(?:ZM|Z|M)?\s*\((.*)\)\s*$", 1)
     raw_rings = F.split(body, r"\)\s*,\s*\(")
     parsed = F.transform(
         raw_rings,
         lambda ring: F.transform(
             F.split(F.regexp_replace(ring, r"[()]", ""), r"\s*,\s*"),
-            lambda s: F.transform(
-                F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")
+            # slice to lon/lat: POLYGON Z / M variants carry extra ordinates
+            lambda s: F.slice(
+                F.transform(
+                    F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")
+                ),
+                1,
+                2,
             ),
         ),
     )

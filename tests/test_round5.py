@@ -897,3 +897,35 @@ def test_wkt_multipolygon_yields_no_cover(spark):
     ).collect()[0]
     assert out.ring == [] and out.rings == []
     assert polyfill_cover_wkt(df, 7).count() == 0
+
+
+def test_wkt_z_variant_parses_to_lonlat(spark):
+    """POLYGON Z/M WKT (extra ordinates) parses to 2-D lonlat rings —
+    polyfill must never see 3-element points — and still covers identically
+    to the 2-D form."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.operators.polygons import polyfill_cover_wkt
+
+    flat = "POLYGON ((-0.5 51.2, 0.3 51.2, 0.3 51.7, -0.5 51.7, -0.5 51.2))"
+    z = (
+        "POLYGON Z ((-0.5 51.2 10, 0.3 51.2 11, 0.3 51.7 12, "
+        "-0.5 51.7 13, -0.5 51.2 10))"
+    )
+    df = spark.createDataFrame(
+        [("flat", flat), ("z", z)], ["polygon_id", "wkt"]
+    )
+    rings = {
+        r.polygon_id: r.rings
+        for r in df.select(
+            "polygon_id", gis.wkt_polygon_rings(F.col("wkt")).alias("rings")
+        ).collect()
+    }
+    assert rings["z"] == rings["flat"]
+    assert all(len(p) == 2 for p in rings["z"][0])
+    cov = polyfill_cover_wkt(df, 7).collect()
+    by_id = {}
+    for r in cov:
+        by_id.setdefault(r.polygon_id, set()).add(r.cell)
+    assert by_id["z"] == by_id["flat"] and len(by_id["z"]) > 0
