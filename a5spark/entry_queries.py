@@ -1710,6 +1710,60 @@ def oracle_polyfill_cover():
     """
 
 
+def q_polyfill_multipolygon(spark, sf_dir):
+    """Multi-part polygon layers (round 6): a WKT MULTIPOLYGON with a holed
+    part and a GEOMETRYCOLLECTION mixing a point, a holed polygon, and a
+    multipolygon member all fill through the parts parser
+    (functions.gis.wkt_polygon_parts) — one fill per part, unioned per
+    layer id. The layer is fixed (sf-independent) and the fill kernel is
+    fixture-pinned, so per-id compacted-cover stats are exact constants."""
+    from a5spark.operators.polygons import polyfill_cover_wkt
+
+    layer = [
+        (
+            "islands",
+            "MULTIPOLYGON (((-8.0 50.0, 2.0 50.0, 2.0 59.0, -8.0 59.0, -8.0 50.0)),"
+            " ((40.0 2.0, 52.0 2.0, 52.0 12.0, 44.0 12.0, 40.0 2.0)))",
+        ),
+        (
+            "donut_pair",
+            "MULTIPOLYGON (((12.0 40.0, 16.0 40.0, 16.0 44.0, 12.0 44.0, 12.0 40.0),"
+            " (13.0 41.0, 15.0 41.0, 15.0 43.0, 13.0 43.0, 13.0 41.0)),"
+            " ((6.0 44.0, 14.0 45.0, 10.0 48.0, 6.0 44.0)))",
+        ),
+        (
+            "mixed_gc",
+            "GEOMETRYCOLLECTION (POINT (1 2),"
+            " POLYGON ((-0.5 51.2, 0.3 51.2, 0.3 51.7, -0.5 51.7, -0.5 51.2)),"
+            " MULTIPOLYGON (((150.0 -35.0, 155.0 -35.0, 155.0 -30.0, 150.0 -30.0,"
+            " 150.0 -35.0))))",
+        ),
+        ("not_polygonal", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+    ]
+    pdf = spark.createDataFrame(layer, ["polygon_id", "wkt"])
+    cover = polyfill_cover_wkt(pdf, resolution=6)
+    return cover.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("cell").cast("long").alias("n_distinct"),
+        F.min("resolution").alias("min_res"),
+        F.max("resolution").alias("max_res"),
+    ).orderBy("polygon_id")
+
+
+def oracle_polyfill_multipolygon():
+    # fixed layer + fixture-pinned fill kernel (tests/test_fixture_full.py,
+    # tests/test_round6.py parity vs union of per-part fills) -> constants;
+    # the non-polygonal row must contribute NO group at all
+    return """
+    SELECT * FROM (VALUES
+      ('donut_pair', CAST(25 AS BIGINT), CAST(25 AS BIGINT), CAST(5 AS INT), CAST(6 AS INT)),
+      ('islands',    CAST(93 AS BIGINT), CAST(93 AS BIGINT), CAST(4 AS INT), CAST(6 AS INT)),
+      ('mixed_gc',   CAST(22 AS BIGINT), CAST(22 AS BIGINT), CAST(5 AS INT), CAST(6 AS INT))
+    ) AS t(polygon_id, n_cells, n_distinct, min_res, max_res)
+    ORDER BY polygon_id
+    """
+
+
 _PIP_SNAPSHOT = "/tmp/a5spark_oracle/pip_join_r9"
 
 
@@ -2785,6 +2839,7 @@ QUERIES = {
     "radius_join": q_radius_join,
     "knn_images": q_knn_images,
     "polyfill_cover": q_polyfill_cover,
+    "polyfill_multipolygon": q_polyfill_multipolygon,
     "pip_join": q_pip_join,
     "line_trace": q_line_trace,
     "grid_disk": q_grid_disk,
@@ -2849,6 +2904,7 @@ ORACLES = {
     "ann_ivf": oracle_ann_ivf(),
     "multires_rollup": oracle_multires_rollup(),
     "polyfill_cover": oracle_polyfill_cover(),
+    "polyfill_multipolygon": oracle_polyfill_multipolygon(),
     "s2_crossindex": oracle_s2_crossindex(),
     "tile_pyramid": oracle_tile_pyramid(),
     "image_checksums": oracle_image_checksums(),

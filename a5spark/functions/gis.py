@@ -67,24 +67,13 @@ def ring_to_geojson(ring: Column, precision: int = 7) -> Column:
 
 def wkt_polygon_ring(wkt: Column) -> Column:
     """Outer ring of a `POLYGON ((...))` WKT string as
-    `array<array<double>>` — the inverse of `ring_to_wkt`. See
-    `wkt_polygon_rings` for the all-rings (holes included) variant.
-    Unparseable strings yield an empty array (callers filter on size)."""
-    # anchored: MULTIPOLYGON contains the substring POLYGON and must NOT
-    # half-match (its second polygon would otherwise parse as a hole)
-    inner = F.regexp_extract(wkt, r"^\s*POLYGON\s*(?:ZM|Z|M)?\s*\(\(([^)]*)\)\)", 1)
-    pts = F.split(inner, r"\s*,\s*")
-    parsed = F.transform(
-        pts,
-        # slice to lon/lat: POLYGON Z / M variants carry extra ordinates
-        lambda s: F.slice(
-            F.transform(F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")),
-            1,
-            2,
-        ),
-    )
-    return F.when(F.length(inner) == 0, F.array().cast("array<array<double>>")).otherwise(
-        parsed
+    `array<array<double>>` — the inverse of `ring_to_wkt`. Derived from the
+    holes-aware `wkt_polygon_rings` parser so holed polygons keep their
+    outer ring (a `((...))`-only regex would reject them). Unparseable and
+    non-POLYGON strings yield an empty array (callers filter on size)."""
+    return F.coalesce(
+        F.get(wkt_polygon_rings(wkt), 0),
+        F.array().cast("array<array<double>>"),
     )
 
 
@@ -142,3 +131,129 @@ def geojson_polygon_rings(geojson: Column) -> Column:
     return F.when(
         g["type"] == "Polygon", F.coalesce(g["coordinates"], F.array())
     ).otherwise(F.array().cast("array<array<array<double>>>"))
+
+
+# A WKT ring list: `((ring), (ring), ...)` — one polygon part's parenthesized
+# rings (outer first, then holes). Ring bodies carry no nested parens, so the
+# bounded-depth pattern is exact; it is both the part extractor INSIDE a
+# MULTIPOLYGON body and the whole body OF a POLYGON.
+_WKT_RING_LIST = r"\(\s*\([^()]*\)(?:\s*,\s*\([^()]*\))*\s*\)"
+
+# A polygonal WKT geometry anywhere in a string. MULTIPOLYGON first: it
+# contains the substring POLYGON, and alternation must consume the whole
+# multi-geometry before the bare-POLYGON branch could half-match inside it.
+_WKT_POLYGONAL_GEOM = (
+    r"(?:MULTIPOLYGON\s*(?:ZM|Z|M)?\s*\(\s*"
+    + _WKT_RING_LIST
+    + r"(?:\s*,\s*"
+    + _WKT_RING_LIST
+    + r")*\s*\))|(?:POLYGON\s*(?:ZM|Z|M)?\s*"
+    + _WKT_RING_LIST
+    + r")"
+)
+
+_PARTS_TYPE = "array<array<array<array<double>>>>"
+
+
+def _parse_ring_list(part: Column) -> Column:
+    """`((r1), (r2), ...)` string -> `array<array<array<double>>>` rings.
+    Rings shorter than 3 points are dropped; Z/M extra ordinates sliced."""
+    body = F.regexp_replace(part, r"^\s*\(|\)\s*$", "")
+    raw_rings = F.split(body, r"\)\s*,\s*\(")
+    parsed = F.transform(
+        raw_rings,
+        lambda ring: F.transform(
+            F.split(F.regexp_replace(ring, r"[()]", ""), r"\s*,\s*"),
+            lambda s: F.slice(
+                F.transform(
+                    F.split(F.trim(s), r"\s+"), lambda t: t.cast("double")
+                ),
+                1,
+                2,
+            ),
+        ),
+    )
+    return F.filter(parsed, lambda ring: F.size(ring) >= 3)
+
+
+def wkt_polygon_parts(wkt: Column) -> Column:
+    """Every polygonal part of a WKT geometry as
+    `array<array<array<array<double>>>>` — one element per polygon part,
+    each a rings array (outer ring first, then holes) in the shape
+    `wkt_polygon_rings` produces for a single POLYGON.
+
+    Accepts POLYGON (one part), MULTIPOLYGON (one part per member), and
+    GEOMETRYCOLLECTION (polygonal members extracted; points/lines ignored
+    — the scan is keyword-anchored, so MULTILINESTRING/MULTIPOINT ring
+    lists cannot false-match). Strings with no polygonal geometry yield an
+    empty array. Two-stage pure-Catalyst parse: extract polygonal
+    geometries, then extract each geometry's `((...))` ring lists —
+    bounded paren depth makes both regexes exact (no balanced-nesting
+    heuristics). Parts with no valid (>=3 point) ring are dropped."""
+    geoms = F.regexp_extract_all(wkt, F.lit(_WKT_POLYGONAL_GEOM), 0)
+    parts = F.flatten(
+        F.transform(
+            geoms, lambda g: F.regexp_extract_all(g, F.lit(_WKT_RING_LIST), 0)
+        )
+    )
+    parsed = F.transform(parts, _parse_ring_list)
+    return F.filter(
+        F.coalesce(parsed, F.array().cast(_PARTS_TYPE)),
+        lambda rings: F.size(rings) >= 1,
+    )
+
+
+def geojson_polygon_parts(geojson: Column) -> Column:
+    """Every polygonal part of a GeoJSON geometry string as
+    `array<array<array<array<double>>>>` (same part shape as
+    `wkt_polygon_parts`). Accepts Polygon, MultiPolygon, and
+    GeometryCollection with polygonal members — including collections that
+    MIX Polygon and MultiPolygon members: the string is parsed once per
+    coordinate depth and from_json's PERMISSIVE mode nulls only the
+    mismatched `coordinates` field per element, so each pass keeps exactly
+    its own member type. Collection parts are ordered Polygon members
+    first, then MultiPolygon members flattened (set-semantics consumers —
+    polyfill union — are order-insensitive). Nested GeometryCollections
+    and non-polygonal types yield no parts; malformed JSON yields an empty
+    array."""
+    poly = F.from_json(
+        geojson, "type STRING, coordinates ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+    )
+    mpoly = F.from_json(
+        geojson, "type STRING, coordinates ARRAY<ARRAY<ARRAY<ARRAY<DOUBLE>>>>"
+    )
+    gc_poly = F.from_json(
+        geojson,
+        "type STRING, geometries ARRAY<STRUCT<type: STRING,"
+        " coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>",
+    )
+    gc_mpoly = F.from_json(
+        geojson,
+        "type STRING, geometries ARRAY<STRUCT<type: STRING,"
+        " coordinates: ARRAY<ARRAY<ARRAY<ARRAY<DOUBLE>>>>>>",
+    )
+    empty = F.array().cast(_PARTS_TYPE)
+
+    def _members(gc: Column, want: str) -> Column:
+        kept = F.filter(
+            F.coalesce(gc["geometries"], F.array()),
+            lambda g: (g["type"] == want) & g["coordinates"].isNotNull(),
+        )
+        return F.transform(kept, lambda g: g["coordinates"])
+
+    collected = F.concat(
+        _members(gc_poly, "Polygon"),
+        F.flatten(_members(gc_mpoly, "MultiPolygon")),
+    )
+    return (
+        F.when(
+            (poly["type"] == "Polygon") & poly["coordinates"].isNotNull(),
+            F.array(poly["coordinates"]),
+        )
+        .when(
+            (mpoly["type"] == "MultiPolygon") & mpoly["coordinates"].isNotNull(),
+            mpoly["coordinates"],
+        )
+        .when(poly["type"] == "GeometryCollection", collected)
+        .otherwise(empty)
+    )

@@ -45,6 +45,7 @@ def polyfill_cover(
     resolution: int,
     id_col: str = "polygon_id",
     rings_col: str = "rings_json",
+    spread_col: str | None = None,
 ) -> DataFrame:
     """Compute the compacted A5 cover of every polygon.
 
@@ -86,10 +87,13 @@ def polyfill_cover(
 
     # each row IS one polygon, so no grouped shuffle is needed — spread rows
     # by id hash (big polygons don't convoy behind each other) and fill per
-    # partition; one shuffle, no driver-side count job
+    # partition; one shuffle, no driver-side count job. spread_col widens
+    # the hash key for layers where one id carries MANY rows (exploded
+    # multipolygon parts): without it a 1000-part id pins to one task.
     spark = polygons.sparkSession
     n_parts = min(512, 4 * spark.sparkContext.defaultParallelism)
-    return polygons.repartition(n_parts, id_col).mapInPandas(fill, COVER_SCHEMA)
+    keys = [id_col] if spread_col is None else [id_col, spread_col]
+    return polygons.repartition(n_parts, *keys).mapInPandas(fill, COVER_SCHEMA)
 
 
 def point_in_polygon_join(
@@ -271,6 +275,26 @@ def _pip_refine_collected(
     return df.mapInPandas(refine, schema)
 
 
+def _polyfill_cover_parts(
+    polygons: DataFrame, parts: "F.Column", resolution: int, id_col: str
+) -> DataFrame:
+    """Fill a multi-part polygon layer: explode parts (a part — one outer
+    ring plus its holes — is exactly the unit `polyfill_cover` consumes),
+    fill each part independently, and union per layer id. Valid multi-
+    polygon parts are disjoint, but adjacent parts can still share
+    boundary cover cells, so exact duplicate (id, cell, resolution) rows
+    are dropped; overlapping-INVALID parts may additionally leave
+    ancestor/descendant redundancy in the union (garbage-in tolerance, not
+    a canonical re-compact)."""
+    exploded = polygons.select(
+        F.col(id_col), F.posexplode(parts).alias("_part_idx", "_part_rings")
+    ).select(id_col, "_part_idx", F.to_json("_part_rings").alias("rings_json"))
+    cover = polyfill_cover(
+        exploded, resolution, id_col=id_col, spread_col="_part_idx"
+    )
+    return cover.dropDuplicates(["polygon_id", "cell", "resolution"])
+
+
 def polyfill_cover_wkt(
     polygons: DataFrame,
     resolution: int,
@@ -279,15 +303,16 @@ def polyfill_cover_wkt(
 ) -> DataFrame:
     """`polyfill_cover` for polygon layers that arrive as WKT strings (the
     common interchange shape out of PostGIS/GeoPandas exports): the WKT is
-    parsed to rings JVM-side (functions.gis.wkt_polygon_rings — holes
-    included, pure Catalyst) and handed to the same per-polygon fill.
-    Rows whose WKT parses to no usable ring produce no cover rows."""
-    from a5spark.functions.gis import wkt_polygon_rings
+    parsed JVM-side (functions.gis.wkt_polygon_parts — POLYGON,
+    MULTIPOLYGON, and GEOMETRYCOLLECTION polygonal members; holes
+    included, pure Catalyst), one fill per polygon part, unioned per layer
+    id. Rows whose WKT contains no polygonal geometry produce no cover
+    rows."""
+    from a5spark.functions.gis import wkt_polygon_parts
 
-    withrings = polygons.withColumn(
-        "rings_json", F.to_json(wkt_polygon_rings(F.col(wkt_col)))
-    ).filter(F.col("rings_json") != F.lit("[]"))
-    return polyfill_cover(withrings, resolution, id_col=id_col)
+    return _polyfill_cover_parts(
+        polygons, wkt_polygon_parts(F.col(wkt_col)), resolution, id_col
+    )
 
 
 def polyfill_cover_geojson(
@@ -297,12 +322,12 @@ def polyfill_cover_geojson(
     geojson_col: str = "geojson",
 ) -> DataFrame:
     """`polyfill_cover` for polygon layers arriving as GeoJSON geometry
-    strings (functions.gis.geojson_polygon_rings — holes included,
-    from_json in Catalyst). Non-Polygon or malformed rows produce no
-    cover rows."""
-    from a5spark.functions.gis import geojson_polygon_rings
+    strings (functions.gis.geojson_polygon_parts — Polygon, MultiPolygon,
+    and GeometryCollection polygonal members; holes included, from_json in
+    Catalyst), one fill per part, unioned per layer id. Non-polygonal or
+    malformed rows produce no cover rows."""
+    from a5spark.functions.gis import geojson_polygon_parts
 
-    withrings = polygons.withColumn(
-        "rings_json", F.to_json(geojson_polygon_rings(F.col(geojson_col)))
-    ).filter(F.col("rings_json") != F.lit("[]"))
-    return polyfill_cover(withrings, resolution, id_col=id_col)
+    return _polyfill_cover_parts(
+        polygons, geojson_polygon_parts(F.col(geojson_col)), resolution, id_col
+    )

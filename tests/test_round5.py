@@ -877,10 +877,12 @@ def test_torn_manifest_pointer_recovers_from_version_log(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
-def test_wkt_multipolygon_yields_no_cover(spark):
-    """MULTIPOLYGON contains the substring POLYGON; the anchored parsers
-    must reject it (the unanchored ones mis-parsed polygon 2 as a HOLE of
-    polygon 1 — silently wrong covers)."""
+def test_wkt_multipolygon_parses_as_parts(spark):
+    """MULTIPOLYGON contains the substring POLYGON; the single-POLYGON
+    parsers stay anchored and reject it (a half-match once parsed polygon 2
+    as a HOLE of polygon 1 — silently wrong covers), but since round 6 the
+    PARTS parser handles it and the cover builder fills every part — a
+    multipolygon layer no longer yields a silent empty cover (r5's gap)."""
     from pyspark.sql import functions as F
 
     from a5spark.functions import gis
@@ -894,9 +896,11 @@ def test_wkt_multipolygon_yields_no_cover(spark):
     out = df.select(
         gis.wkt_polygon_ring(F.col("wkt")).alias("ring"),
         gis.wkt_polygon_rings(F.col("wkt")).alias("rings"),
+        gis.wkt_polygon_parts(F.col("wkt")).alias("parts"),
     ).collect()[0]
     assert out.ring == [] and out.rings == []
-    assert polyfill_cover_wkt(df, 7).count() == 0
+    assert len(out.parts) == 2 and [len(p) for p in out.parts] == [1, 1]
+    assert polyfill_cover_wkt(df, 7).count() > 0
 
 
 def test_wkt_z_variant_parses_to_lonlat(spark):
