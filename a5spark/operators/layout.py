@@ -222,62 +222,134 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
 VERSIONS_DIR = "_versions"
 
 
-def _commit_manifest(spark: SparkSession, path: str, manifest: dict) -> dict:
-    """Commit a new manifest version: bump the version counter, persist the
-    versioned copy under _versions/ (the snapshot log an Iceberg/Delta
-    table keeps natively), then overwrite the current pointer. The current-
-    pointer write is the commit point; the versioned copy enables time
-    travel (`read_manifest(version=)`) and retention-aware vacuum."""
-    manifest = {**manifest, "version": manifest.get("version", -1) + 1}
-    text = json.dumps(manifest)
-    _write_text(
-        spark, f"{path}/{VERSIONS_DIR}/v{manifest['version']:06d}.json", text
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a manifest version this commit was based on.
+    Raised when the caller supplied no `retry_update` (single-writer
+    operations like the initial `write_cell_layout`) or when re-applying
+    the update onto the winner's manifest is not safe (e.g. two OPTIMIZE
+    runs racing over the same files)."""
+
+
+def _create_exclusive(spark: SparkSession, path_str: str, text: str) -> bool:
+    """Atomically create `path_str` with `text` iff it does not exist —
+    Hadoop `FileSystem.create(overwrite=False)` is the atomic reservation
+    primitive on HDFS and local FS (object stores need their conditional-put
+    equivalent, e.g. S3 If-None-Match, which recent Hadoop S3A exposes the
+    same way). Returns False if the path already exists (lost the race)."""
+    fs, p, _ = _fs(spark, path_str)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        if fs.exists(p):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    retry_update=None,
+    max_attempts: int = 20,
+) -> dict:
+    """Commit a new manifest version with optimistic concurrency control.
+
+    The versioned log file under _versions/ IS the commit point: it is
+    claimed with an atomic create-if-absent, so two writers that both read
+    version N can never both commit N+1 — the loser re-reads the winner's
+    manifest, re-applies its own change via `retry_update(current) -> dict`
+    (return None to accept the current state as already containing the
+    change, e.g. an idempotent batch id), and tries N+2. Without
+    `retry_update` a lost race raises ConcurrentCommitError instead of
+    silently dropping the winner's commit — the Iceberg optimistic-commit
+    protocol, hand-rolled over the version log this layout already keeps.
+
+    The current-pointer file is a read CACHE of the newest version, updated
+    after the commit point via tmp+rename so it is never observably
+    half-written; `read_manifest` treats the version log as the source of
+    truth (max committed version wins), so a stale or torn pointer — two
+    winners updating it out of order, or a crash between commit and pointer
+    write — never surfaces an older manifest."""
+    for _ in range(max_attempts):
+        version = manifest.get("version", -1) + 1
+        committed = {**manifest, "version": version}
+        text = json.dumps(committed)
+        if _create_exclusive(
+            spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json", text
+        ):
+            fs, _, jvm = _fs(spark, path)
+            tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.{MANIFEST_NAME}.tmp")
+            cur = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_NAME}")
+            _write_text(spark, f"{path}/.{MANIFEST_NAME}.tmp", text)
+            if fs.exists(cur):
+                fs.delete(cur, False)
+            fs.rename(tmp, cur)
+            return committed
+        if retry_update is None:
+            raise ConcurrentCommitError(
+                f"manifest version {version} at {path} was committed by a "
+                "concurrent writer; this operation cannot merge its update"
+            )
+        current = read_manifest(spark, path)
+        manifest = retry_update(current)
+        if manifest is None:  # the change is already in the current state
+            return current
+    raise ConcurrentCommitError(
+        f"gave up after {max_attempts} contended commit attempts at {path}"
     )
-    # the current pointer must never be observable half-written: land it
-    # under a temp name and rename over (delete-then-rename on filesystems
-    # without atomic replace — the versioned copy above plus read_manifest's
-    # recovery scan covers the delete..rename window)
+
+
+def _max_committed_version(spark: SparkSession, path: str) -> int:
+    """Highest version number in the version log, or -1 if none."""
     fs, _, jvm = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.{MANIFEST_NAME}.tmp")
-    cur = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_NAME}")
-    _write_text(spark, f"{path}/.{MANIFEST_NAME}.tmp", text)
-    if fs.exists(cur):
-        fs.delete(cur, False)
-    fs.rename(tmp, cur)
-    return manifest
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{VERSIONS_DIR}")
+    if not fs.exists(vdir):
+        return -1
+    best = -1
+    for st in fs.listStatus(vdir):
+        n = st.getPath().getName()
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[1:-5]))
+            except ValueError:
+                pass
+    return best
 
 
 def read_manifest(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict:
     """Current manifest, or a specific committed version (time travel —
-    valid as long as vacuum's retention window still covers it). A missing
-    or torn current pointer (crash inside a commit) recovers from the
-    highest committed version log."""
+    valid as long as vacuum's retention window still covers it).
+
+    The version log is the source of truth: the current pointer is only a
+    cache, so if the log holds a NEWER committed version than the pointer
+    (a crash between commit and pointer write, or two contended writers
+    updating the pointer out of order), the newest log entry wins; a
+    missing or torn pointer likewise recovers from the log. One extra
+    listStatus per read — driver-side metadata I/O, the price of
+    linearizable reads without a catalog service."""
     if version is not None:
         return json.loads(
             _read_text(spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json")
         )
+    best = _max_committed_version(spark, path)
     try:
-        return json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
+        cur = json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
     except Exception:
-        fs, _, jvm = _fs(spark, path)
-        vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{VERSIONS_DIR}")
-        if not fs.exists(vdir):
-            raise
-        best = -1
-        for st in fs.listStatus(vdir):
-            n = st.getPath().getName()
-            if n.startswith("v") and n.endswith(".json"):
-                try:
-                    best = max(best, int(n[1:-5]))
-                except ValueError:
-                    pass
         if best < 0:
             raise
-        return json.loads(
-            _read_text(spark, f"{path}/{VERSIONS_DIR}/v{best:06d}.json")
-        )
+        cur = None
+    if cur is not None and cur.get("version", -1) >= best:
+        return cur
+    return json.loads(
+        _read_text(spark, f"{path}/{VERSIONS_DIR}/v{best:06d}.json")
+    )
 
 
 def _select_files(manifest: dict, ranges: list[tuple[int, int]]):
@@ -356,6 +428,7 @@ def optimize_cell_layout(
     min_file_bytes: int | None = None,
     write_options: dict | None = None,
     retain_old: bool = False,
+    retain_versions: int = 2,
 ) -> dict:
     """Bin-pack a cell layout's small files into ~target-size files without
     breaking the clustering invariant — the maintenance half of the layout
@@ -394,10 +467,26 @@ def optimize_cell_layout(
     once the retention window moves past. Each bin commit is a manifest
     VERSION, so the whole optimize is a chain of small reversible commits.
 
+    `retain_versions` (default 2, i.e. current + previous) is the
+    time-travel window the automatic leading vacuum honors — so routine
+    maintenance no longer breaks a reader pinned one version back (it
+    previously vacuumed with a 1-version window, deleting every older
+    snapshot's files mid-scan). Concurrency: racing APPEND commits are
+    merged via the CAS retry (their files are untouched by any bin); a
+    racing OPTIMIZE that rewrote one of this run's bin files aborts the
+    bin with ConcurrentCommitError rather than committing a double-counted
+    merge. Vacuum is NOT safe against in-flight (uncommitted) appends —
+    schedule maintenance and ingest off each other, as with Iceberg's
+    orphan-file removal.
+
     Returns {files_before, files_after, bins, files_rewritten,
     bytes_rewritten, vacuumed}.
     """
-    stats_vacuumed = 0 if retain_old else len(vacuum_cell_layout(spark, path))
+    stats_vacuumed = (
+        0
+        if retain_old
+        else len(vacuum_cell_layout(spark, path, retain_versions=retain_versions))
+    )
     manifest = read_manifest(spark, path)
     key_col = manifest["key_col"]
     files = manifest["files"]  # sorted by lo == adjacency order
@@ -485,7 +574,35 @@ def optimize_cell_layout(
             [e for e in current if e["file"] not in bin_names] + [entry],
             key=lambda e: e["lo"],
         )
-        manifest = _commit_manifest(spark, path, {**manifest, "files": current})
+
+        def _apply(cur: dict) -> dict:
+            # merge this bin's swap onto a concurrent winner's manifest —
+            # safe iff the winner left every bin file alone (a racing
+            # APPEND only adds files); if another OPTIMIZE already rewrote
+            # one, committing would double-count its rows, so abort and
+            # leave our merged file as an orphan for vacuum
+            have = {e["file"] for e in cur["files"]}
+            if not bin_names <= have:
+                raise ConcurrentCommitError(
+                    "optimize bin files were rewritten by a concurrent "
+                    f"writer at {path}; aborting this bin's commit"
+                )
+            return {
+                **cur,
+                "files": sorted(
+                    [e for e in cur["files"] if e["file"] not in bin_names]
+                    + [entry],
+                    key=lambda e: e["lo"],
+                ),
+            }
+
+        manifest = _commit_manifest(
+            spark, path, {**manifest, "files": current}, retry_update=_apply
+        )
+        # sync to the COMMITTED state: a retried commit may have merged a
+        # concurrent append's files, which the next bin's proposal must
+        # carry forward rather than silently drop
+        current = manifest["files"]
         if not retain_old:
             # old files are unreferenced by CURRENT as of the commit above
             for e in b:
@@ -656,9 +773,24 @@ def append_cell_layout(
             entries.append(e)
     _delete_dir(spark, f"{path}/_append_tmp")
 
-    manifest["files"] = sorted(manifest["files"] + entries, key=lambda e: e["lo"])
-    manifest["batches"] = sorted(batches + [batch_id])
-    _commit_manifest(spark, path, manifest)
+    def _apply(cur: dict) -> dict | None:
+        # re-apply this append onto a concurrent winner's manifest; a
+        # winner that already recorded this batch id (a racing redelivery
+        # of the SAME micro-batch — identical content, identical target
+        # file names) means the append is already committed: accept theirs
+        if batch_id in cur.get("batches", []):
+            return None
+        names = {e["file"] for e in entries}
+        return {
+            **cur,
+            "files": sorted(
+                [e for e in cur["files"] if e["file"] not in names] + entries,
+                key=lambda e: e["lo"],
+            ),
+            "batches": sorted(cur.get("batches", []) + [batch_id]),
+        }
+
+    _commit_manifest(spark, path, _apply(manifest), retry_update=_apply)
     return {
         "batch_id": batch_id,
         "appended_files": len(entries),
