@@ -2216,6 +2216,46 @@ def oracle_image_stats():
     """
 
 
+def q_image_png_stats(spark, sf_dir):
+    """Container-codec decode path, value-gated (round 6): the rgb8 payloads
+    are TRANSCODED to real PNG streams (multimodal.rgb8_to_png, stdlib
+    codec) and the stats pipeline decodes them back through the same
+    decode_image kernel (kernels/png.py, fmt='png'). PNG is lossless, so
+    DuckDB's closed-form evaluation of the underlying rgb8 pattern gates
+    every decoded byte bit-for-bit — the codec round-trip is inside the
+    oracle loop, not just unit-tested."""
+    from a5spark.operators.multimodal import image_moments, rgb8_to_png
+    from a5spark.sources.images import _gen_image_bytes
+
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
+        F.col("k") % 150 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    img = img.withColumn(
+        "bytes", rgb8_to_png(F.col("bytes"), F.col("w"), F.col("h"))
+    ).withColumn("fmt", F.lit("png"))
+    m = image_moments(img)
+    return m.select(
+        "image_id",
+        "n_px",
+        F.expr("(1000 * sum_r) div n_px").alias("mean_r_milli"),
+        F.expr("(1000 * sum_g) div n_px").alias("mean_g_milli"),
+        F.expr("(1000 * sum_b) div n_px").alias("mean_b_milli"),
+        F.expr(
+            "(1000 * (n_px * sumsq_s - sum_s * sum_s)) div (9 * n_px * n_px)"
+        ).alias("var_gray_milli"),
+        "ahash64",
+    ).orderBy("image_id")
+
+
+def oracle_image_png_stats():
+    # identical closed form to oracle_image_stats (PNG is lossless and the
+    # codec is inside the Spark side), over the sparser % 150 sample
+    return oracle_image_stats().replace("% 75 = 0", "% 150 = 0")
+
+
 _TILE_SNAPSHOT = "/tmp/a5spark_oracle/tile_assigned_r8"
 
 
@@ -2848,6 +2888,7 @@ QUERIES = {
     "hot_region_vectorize": q_hot_region_vectorize,
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
+    "image_png_stats": q_image_png_stats,
     "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
     "video_frames": q_video_frames,
@@ -2911,6 +2952,7 @@ ORACLES = {
     "video_frames": oracle_video_frames(),
     "audio_features": oracle_audio_features(),
     "image_stats": oracle_image_stats(),
+    "image_png_stats": oracle_image_png_stats(),
     "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),
     "line_trace": oracle_line_trace(),

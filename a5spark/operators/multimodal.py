@@ -4,13 +4,14 @@ Images travel as opaque `binary` columns with typed metadata (w, h, fmt) —
 the input_hint schema. All pixel work runs in Arrow-batched kernels over
 mapInPandas / pandas UDFs; nothing decodes per-row in Python object space.
 
-Codec decode (jpeg/png) is import-gated on Pillow: when the package is
-installed the same decode kernel handles those formats (tests activate
-automatically); in this container it is absent, so codec formats raise a
+Codec support: 'png' decodes/encodes through a dependency-free stdlib codec
+(kernels/png.py — real everywhere, including this sandbox); 'jpeg' is
+import-gated on Pillow — when the package is installed the same decode
+kernel handles it (tests activate automatically), otherwise it raises a
 clearly-marked NotImplementedError. The synthetic 'rgb8' raw format decodes
-for real (numpy frombuffer + reshape), which keeps the whole Spark-side
-plumbing — schema, batch shape, UDF signatures, PSNR verification — genuine
-and tested either way.
+with numpy frombuffer + reshape. Either way the whole Spark-side plumbing —
+schema, batch shape, UDF signatures, PSNR verification — is genuine and
+tested.
 """
 
 import math
@@ -39,34 +40,44 @@ except ImportError:  # pragma: no cover - exercised when Pillow is installed
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """binary -> (h, w, 3) uint8 array. The raw 'rgb8' format decodes with
-    numpy alone; jpeg/png decode through Pillow WHEN INSTALLED (import-gated
-    — the same kernel, so every operator above it picks up codec support
-    with no other change); without Pillow codec formats raise."""
+    numpy alone; 'png' decodes through the dependency-free stdlib codec
+    (kernels/png.py — REAL in this sandbox, all filter types, gray/RGB/
+    palette/alpha color types); jpeg decodes through Pillow WHEN INSTALLED
+    (import-gated — the same kernel, so every operator above it picks up
+    codec support with no other change); without Pillow, jpeg raises."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
-    if fmt in ("jpeg", "jpg", "png") and _PILImage is not None:
+    if fmt == "png":
+        from a5spark.kernels.png import png_decode
+
+        return png_decode(data)
+    if fmt in ("jpeg", "jpg") and _PILImage is not None:
         import io
 
         return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image codec library "
-        "(install Pillow to enable jpeg/png in this kernel)"
+        "(install Pillow to enable jpeg in this kernel)"
     )
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
     if fmt == "rgb8":
         return px.astype(np.uint8).tobytes()
-    if fmt in ("jpeg", "jpg", "png") and _PILImage is not None:
+    if fmt == "png":
+        from a5spark.kernels.png import png_encode
+
+        return png_encode(px)
+    if fmt in ("jpeg", "jpg") and _PILImage is not None:
         import io
 
         buf = io.BytesIO()
         _PILImage.fromarray(px.astype(np.uint8), mode="RGB").save(
-            buf, format="PNG" if fmt == "png" else "JPEG"
+            buf, format="JPEG"
         )
         return buf.getvalue()
     raise NotImplementedError(
-        f"encode for format {fmt!r} not available (install Pillow for jpeg/png)"
+        f"encode for format {fmt!r} not available (install Pillow for jpeg)"
     )
 
 
@@ -139,6 +150,20 @@ _MOMENTS_SCHEMA = StructType(
         StructField("ahash64", LongType()),
     ]
 )
+
+
+@F.pandas_udf(BinaryType())
+def rgb8_to_png(data: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    """Transcode raw rgb8 payloads to PNG (stdlib codec, Arrow-batched) —
+    lets every downstream operator exercise the real container-decode path;
+    PNG is lossless, so value oracles for the rgb8 pattern hold unchanged."""
+    from a5spark.kernels.png import png_encode
+
+    out = []
+    for d, wi, hi in zip(data, w, h):
+        px = np.frombuffer(d, dtype=np.uint8, count=int(wi) * int(hi) * 3)
+        out.append(png_encode(px.reshape(int(hi), int(wi), 3)))
+    return pd.Series(out)
 
 
 def image_moments(df: DataFrame) -> DataFrame:
@@ -317,28 +342,6 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             )
 
     return df.select("video_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema)
-
-
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling STUB: the Spark plumbing (schema + batch shape)
-    is real, but decoding video containers needs codecs not present here."""
-
-    schema = StructType(
-        [
-            StructField("image_id", StringType()),
-            StructField("frame_idx", LongType()),
-            StructField("bytes", BinaryType()),
-        ]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling requires codec libraries unavailable in "
-            "this environment"
-        )
-        yield  # pragma: no cover
-
-    return df.mapInPandas(run, schema)
 
 
 _AUDIO_SCHEMA = StructType(

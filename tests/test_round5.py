@@ -271,23 +271,23 @@ def test_ivf_skew_witness(spark):
 
 
 def test_codec_decode_via_pillow_when_installed():
-    """Activates only when Pillow exists (absent in this sandbox): a PNG
-    round-trips losslessly through the SAME decode kernel the rgb8 path
-    uses, so every image operator gains codec support with no other
-    change."""
+    """Activates only when Pillow exists (absent in this sandbox): a JPEG
+    round-trips through the SAME decode kernel the rgb8 path uses (lossy —
+    shape and dtype only), so every image operator gains codec support with
+    no other change. PNG no longer needs Pillow — it has a stdlib codec
+    (tests/test_round6.py)."""
     pytest.importorskip("PIL")
     from a5spark.operators.multimodal import decode_image, encode_image
 
     px = (np.arange(48 * 32 * 3, dtype=np.uint64) * 7919 % 256).astype(np.uint8)
     px = px.reshape(32, 48, 3)
-    data = encode_image(px, "png")
-    out = decode_image(data, 48, 32, "png")
-    assert out.shape == (32, 48, 3)
-    assert np.array_equal(out, px)
+    data = encode_image(px, "jpeg")
+    out = decode_image(data, 48, 32, "jpeg")
+    assert out.shape == (32, 48, 3) and out.dtype == np.uint8
 
 
 def test_codec_decode_raises_without_pillow():
-    """Without Pillow the codec path must raise the documented
+    """Without Pillow the jpeg path must raise the documented
     NotImplementedError (not a silent wrong answer)."""
     try:
         import PIL  # noqa: F401
@@ -298,7 +298,7 @@ def test_codec_decode_raises_without_pillow():
     from a5spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", 4, 4, "png")
+        decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
 
 
 def teardown_module(module):

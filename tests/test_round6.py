@@ -414,3 +414,143 @@ def test_optimize_default_retention_keeps_pinned_reader(spark):
     removed = layout.vacuum_cell_layout(spark, d, retain_versions=1)
     assert removed != []
     shutil.rmtree(d, ignore_errors=True)
+
+
+# --- stdlib PNG codec -------------------------------------------------------
+
+
+def _filtered_png(px, ftype):
+    """Spec-correct forward filtering (the easy direction) to generate
+    decode fixtures for every filter type."""
+    import struct
+    import zlib
+
+    from a5spark.kernels import png as P
+
+    h, w, ch = px.shape
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    flat = px.reshape(h, stride).astype(np.int64)
+    for y in range(h):
+        row = flat[y]
+        out = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                out[x] = row[x]
+            elif ftype == 1:
+                out[x] = row[x] - a
+            elif ftype == 2:
+                out[x] = row[x] - b
+            elif ftype == 3:
+                out[x] = row[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = row[x] - pr
+        raw.append(ftype)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        P._SIGNATURE
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + P._chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_exact():
+    from a5spark.kernels.png import png_decode, png_encode
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (7, 5), (32, 48), (64, 96)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+def test_png_decode_all_filter_types():
+    """Each of the five PNG filter types (and a mixed-filter stream built
+    row-by-row by an independent forward-filter implementation) decodes to
+    the original pixels exactly."""
+    from a5spark.kernels.png import png_decode
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    for ftype in range(5):
+        assert np.array_equal(png_decode(_filtered_png(px, ftype)), px), ftype
+
+
+def test_png_decode_color_types():
+    """Gray (0), gray+alpha (4), RGBA (6) expand/slice to (h, w, 3)."""
+    from a5spark.kernels.png import png_decode
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(9, 6, 1), dtype=np.uint8)
+    out = png_decode(_filtered_png(gray, 2))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    ga = rng.integers(0, 256, size=(9, 6, 2), dtype=np.uint8)
+    out = png_decode(_filtered_png(ga, 1))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(9, 6, 4), dtype=np.uint8)
+    out = png_decode(_filtered_png(rgba, 4))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_decode_rejects_unsupported():
+    from a5spark.kernels.png import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG")  # truncated signature
+    with pytest.raises(ValueError):
+        png_decode(b"nope" * 4)
+
+
+def test_png_matches_pillow_when_installed():
+    """Cross-codec check (activates only where Pillow exists): Pillow must
+    decode our streams to the same pixels, and our decoder must decode
+    Pillow's output of the same image exactly."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from a5spark.kernels.png import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(21, 17, 3), dtype=np.uint8)
+    theirs = np.asarray(
+        PIL_Image.open(io.BytesIO(png_encode(px))).convert("RGB")
+    )
+    assert np.array_equal(theirs, px)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="RGB").save(buf, format="PNG")
+    assert np.array_equal(png_decode(buf.getvalue()), px)
+
+
+def test_png_feeds_existing_image_operators(spark):
+    """The verdict-r5 'done' bar for item 3: PNG payloads flow through the
+    UNCHANGED stats/aHash operators (image_moments) and produce exactly the
+    values the same pixels produce as raw rgb8."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.multimodal import image_moments, rgb8_to_png
+    from a5spark.sources.images import _gen_image_bytes, images_from_sf_dir
+
+    img = images_from_sf_dir(spark, SF_DIR, with_bytes=False).filter(
+        F.col("k") % 300 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    want = sorted(
+        tuple(r) for r in image_moments(img).collect()
+    )
+    png = img.withColumn(
+        "bytes", rgb8_to_png(F.col("bytes"), F.col("w"), F.col("h"))
+    ).withColumn("fmt", F.lit("png"))
+    got = sorted(tuple(r) for r in image_moments(png).collect())
+    assert got == want and len(got) > 0
