@@ -30,8 +30,13 @@ def persist(df: DataFrame) -> DataFrame:
 
 def register_broadcast(bc):
     """Register a SparkContext Broadcast handle in the innermost scope; it is
-    destroy()ed with the scope so long-lived sessions (bench loops, services)
-    don't accumulate broadcast blocks on the driver/executors."""
+    unpersist()ed with the scope so long-lived sessions (bench loops,
+    services) don't accumulate broadcast blocks on driver/executors.
+    unpersist — NOT destroy: a returned DataFrame whose lineage closes over
+    the broadcast (matmul scorers, ivf listers, PIP refine) stays
+    recomputable after release (Spark re-broadcasts on demand); destroy()
+    would make any re-collect fail with 'Broadcast used after destroy'.
+    Callers that truly tear down own the explicit bc.destroy()."""
     _SCOPES[-1].append(bc)
     return bc
 
@@ -43,8 +48,8 @@ def _release(frames: list) -> int:
         try:
             if isinstance(obj, DataFrame):
                 obj.unpersist()
-            else:  # Broadcast handle
-                obj.destroy()
+            elif hasattr(obj, "unpersist"):  # Broadcast handle (duck-typed)
+                obj.unpersist(blocking=False)
             n += 1
         except Exception:
             pass

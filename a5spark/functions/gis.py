@@ -106,18 +106,40 @@ def wkt_polygon_rings(wkt: Column) -> Column:
     ).otherwise(kept)
 
 
-def cell_to_boundary_wkt(cell: Column, precision: int = 7) -> Column:
+def cell_to_boundary_wkt(
+    cell: Column, precision: int = 7, segments=None
+) -> Column:
     """WKT boundary straight from a cell-id column (composes the Arrow
-    boundary UDF with the Catalyst serializer)."""
-    from a5spark.functions.udfs import a5_cell_to_boundary
+    boundary UDF with the Catalyst serializer). `segments` densifies each
+    pentagon edge (None/'auto' = the resolution default 2^(6-res)); rings
+    stay closed — WKT requires it."""
+    from a5spark.functions.udfs import (
+        a5_cell_to_boundary,
+        a5_cell_to_boundary_opts,
+    )
 
-    return ring_to_wkt(a5_cell_to_boundary(cell), precision)
+    udf = (
+        a5_cell_to_boundary
+        if segments in (None, "auto")
+        else a5_cell_to_boundary_opts(segments=segments)
+    )
+    return ring_to_wkt(udf(cell), precision)
 
 
-def cell_to_boundary_geojson(cell: Column, precision: int = 7) -> Column:
-    from a5spark.functions.udfs import a5_cell_to_boundary
+def cell_to_boundary_geojson(
+    cell: Column, precision: int = 7, segments=None
+) -> Column:
+    from a5spark.functions.udfs import (
+        a5_cell_to_boundary,
+        a5_cell_to_boundary_opts,
+    )
 
-    return ring_to_geojson(a5_cell_to_boundary(cell), precision)
+    udf = (
+        a5_cell_to_boundary
+        if segments in (None, "auto")
+        else a5_cell_to_boundary_opts(segments=segments)
+    )
+    return ring_to_geojson(udf(cell), precision)
 
 
 def geojson_polygon_rings(geojson: Column) -> Column:

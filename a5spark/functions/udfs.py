@@ -48,9 +48,9 @@ def a5_cell_to_lonlat(cell: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": lon, "lat": lat})
 
 
-@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
-def a5_cell_to_boundary(cell: pd.Series) -> pd.Series:
-    """GeoJSON-style closed CCW lonlat ring per cell."""
+def _boundary_lists(cell: pd.Series, segments, closed_ring: bool) -> pd.Series:
+    """Shared body for the boundary UDFs: group the batch per resolution
+    (the kernel is uniform-res) and emit one lonlat ring list per cell."""
     cells = kser.from_signed(cell.to_numpy(dtype=np.int64))
     out = [None] * len(cells)
     res = kser.get_resolution(cells)
@@ -62,10 +62,36 @@ def a5_cell_to_boundary(cell: pd.Series) -> pd.Series:
             for i in m:
                 out[i] = []
             continue
-        rings = kcell.cell_to_boundary(cells[m])
+        rings = kcell.cell_to_boundary(
+            cells[m], segments=segments, closed_ring=closed_ring
+        )
         for j, i in enumerate(m):
             out[i] = rings[j].tolist()
     return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def a5_cell_to_boundary(cell: pd.Series) -> pd.Series:
+    """GeoJSON-style closed CCW lonlat ring per cell (default options:
+    segments='auto' = 2^(6-res) per edge, closed)."""
+    return _boundary_lists(cell, None, True)
+
+
+def a5_cell_to_boundary_opts(segments=None, closed_ring: bool = True):
+    """Factory for a boundary UDF with the reference's cell_to_boundary
+    options (core/cell.py:258-310): `segments` per pentagon edge (None or
+    'auto' = 2^(6-res), the default densification; an int pins it — the
+    reference benches segments=10, benchmarks/bench_cell.py:80-81) and
+    `closed_ring` (False drops the repeated first point — the open-ring
+    form consumers like deck.gl PolygonLayer accept). Options are plain
+    Python values, so each combination compiles to its own Arrow UDF."""
+    seg = None if segments in (None, "auto") else int(segments)
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _boundary(cell: pd.Series) -> pd.Series:
+        return _boundary_lists(cell, seg, closed_ring)
+
+    return _boundary
 
 
 @F.pandas_udf(LongType())

@@ -73,14 +73,26 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the compiled physical plan.
+def count_exchanges(df: DataFrame, shuffle_only: bool = False) -> int:
+    """Number of Exchange operators in the compiled physical plan — by
+    default ANY data-movement node (shuffle `Exchange` AND
+    `BroadcastExchange`), excluding `ReusedExchange` (a reference to one
+    already counted). `shuffle_only=True` counts just shuffles — note a
+    plan can then report 0 while still paying a broadcast; the
+    zero-exchange bucketed-join evidence uses the default (strict) count
+    so it cannot pass on a hidden BroadcastExchange.
 
     Uses the pre-execution plan: under AQE the executed plan is an
     AdaptiveSparkPlan whose initial tree still lists every Exchange that
     would run; bucketed co-located joins must show zero."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        line.strip().lstrip(":+-* ").startswith("Exchange")
-        for line in plan.splitlines()
-    )
+    n = 0
+    for line in plan.splitlines():
+        op = line.strip().lstrip(":+-* ")
+        if op.startswith("ReusedExchange"):
+            continue
+        if op.startswith("Exchange"):
+            n += 1
+        elif op.startswith("BroadcastExchange") and not shuffle_only:
+            n += 1
+    return n

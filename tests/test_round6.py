@@ -554,3 +554,138 @@ def test_png_feeds_existing_image_operators(spark):
     ).withColumn("fmt", F.lit("png"))
     got = sorted(tuple(r) for r in image_moments(png).collect())
     assert got == want and len(got) > 0
+
+
+# --- boundary options on the Spark surface ----------------------------------
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_boundary_options_spark_surface_matches_reference(spark):
+    """segments / closed_ring now reach the Spark surface
+    (a5_cell_to_boundary_opts): parity vs the live reference at
+    segments=10 (the reference's own benchmark configuration,
+    benchmarks/bench_cell.py:80-81) and open-ring mode, across
+    resolutions."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import a5
+
+    from a5spark.functions.udfs import a5_cell_to_boundary_opts
+    from a5spark.kernels.serialization import to_signed
+
+    pts = [(-0.1276, 51.5074), (139.76, 35.68), (18.42, -33.92),
+           (-170.0, -60.0)]
+    cells = [
+        int(a5.lonlat_to_cell(p, res)) for p in pts for res in (2, 7, 12)
+    ]
+    sdf = spark.createDataFrame(
+        [(int(to_signed(np.uint64(c))),) for c in cells], ["cell"]
+    ).coalesce(1)
+
+    for opts in ({"segments": 10}, {"segments": 3, "closed_ring": False},
+                 {"closed_ring": False}):
+        udf = a5_cell_to_boundary_opts(**opts)
+        got = {
+            r["cell"]: np.asarray(r["ring"])
+            for r in sdf.select("cell", udf(F.col("cell")).alias("ring")).collect()
+        }
+        for c in cells:
+            want = np.asarray(a5.cell_to_boundary(c, dict(opts)))
+            g = got[int(to_signed(np.uint64(c)))]
+            assert g.shape == want.shape, (opts, c, g.shape, want.shape)
+            assert np.abs(g - want).max() <= 1e-10, (opts, c)
+            seg = opts.get("segments")
+            if seg is not None:
+                n = 5 * seg + (1 if opts.get("closed_ring", True) else 0)
+                assert g.shape[0] == n
+
+
+def test_boundary_wkt_honors_segments(spark):
+    """cell_to_boundary_wkt(segments=) densifies the exported ring: point
+    count is 5*segments+1 and the default export stays unchanged."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+
+    cell = int(to_signed(lonlat_to_cell(np.array([-0.1]), np.array([51.5]), 9))[0])
+    df = spark.createDataFrame([(cell,)], ["cell"])
+    row = df.select(
+        gis.cell_to_boundary_wkt(F.col("cell")).alias("w_def"),
+        gis.cell_to_boundary_wkt(F.col("cell"), segments=10).alias("w_10"),
+        gis.cell_to_boundary_geojson(F.col("cell"), segments=10).alias("g_10"),
+    ).collect()[0]
+    assert row.w_def.startswith("POLYGON ((")
+    n10 = row.w_10.count(",") + 1
+    assert n10 == 5 * 10 + 1
+    g = json.loads(row.g_10)
+    assert len(g["coordinates"][0]) == 51
+
+
+# --- bucketed-join hot-cell skew witness ------------------------------------
+
+
+def test_bucketed_join_hot_cell_skew_witness(spark):
+    """Verdict-r5 item 5: 50% of the left rows land on ONE cell. The
+    bucketed join must stay exact and exchange-free — but ALL hot rows sit
+    in one bucket, and because a bucketed scan has no shuffle for AQE to
+    re-plan, that bucket is a straggler AQE cannot split (asserted: no
+    AQEShuffleRead / skew-split in the plan). This pins the documented
+    caveat: under hot-cell skew the salted two-phase path
+    (operators/spatial.py salted density) is the fallback; bucketing wins
+    only when keys are reasonably spread. PLANS.md records the crossover
+    note."""
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.bucketing import (
+        bucketed_join,
+        count_exchanges,
+        write_bucketed_table,
+    )
+
+    n = 40000
+    hot = 7
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, hot)
+        .otherwise(F.col("id") % 211)
+        .alias("cell"),
+        F.col("id").alias("k"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    a = df  # even ids -> cell 7: half the table on one key
+    b = (
+        spark.range(211)
+        .select(F.col("id").alias("cell"), (F.col("id") * 3).alias("w"))
+    )
+    write_bucketed_table(a, "t_r6_hot", n_buckets=8, path="/tmp/a5spark_r6/bk_hot")
+    write_bucketed_table(b, "t_r6_dim", n_buckets=8, path="/tmp/a5spark_r6/bk_dim")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = [F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")]
+        got = bucketed_join(spark, "t_r6_hot", "t_r6_dim").groupBy("cell").agg(*agg)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert count_exchanges(got) == 0
+        # no shuffle => nothing for AQE's skew-split to operate on
+        assert "AQEShuffleRead" not in plan and "skewed=true" not in plan
+        want = (
+            spark.read.parquet("/tmp/a5spark_r6/bk_hot")
+            .join(spark.read.parquet("/tmp/a5spark_r6/bk_dim"), "cell")
+            .groupBy("cell")
+            .agg(*agg)
+        )
+        got_rows = sorted(map(tuple, got.collect()))
+        assert got_rows == sorted(map(tuple, want.collect()))
+        # witness the pileup itself: the hot cell carries >= half the rows,
+        # so its bucket is a guaranteed straggler under bucketed execution
+        hot_rows = next(r["n"] for r in got.collect() if r["cell"] == hot)
+        assert hot_rows >= n // 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
