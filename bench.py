@@ -30,48 +30,49 @@ def _sf_of(path: str) -> float:
 
 
 def run_queries(spark, sf_dir, names=None):
-    """Per-query wall times. This microVM's CPU grant is bursty (single runs
-    vary up to ~5x under steal), so queries whose first run exceeds a small
-    threshold are re-run and the MIN is reported — the standard best-of-N
-    defense documented in BASELINE.md."""
+    """Per-query wall times, best-of-N self-adjudicated. This microVM's CPU
+    grant is bursty (single runs vary up to ~5x under steal), so every
+    query runs at least TWICE (round 6: previously only over-threshold
+    queries retried, so a steal burst on a sub-threshold query read as a
+    regression — six false flags in the r5 driver run, all adjudicated
+    clean) and slow queries retry further under a shared budget; the MIN
+    and ALL raw samples are reported, so a reader can adjudicate steal
+    without re-running."""
     from a5spark import cache
     from a5spark.entry_queries import QUERIES
 
     retry_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "3"))
     retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "150"))
+    min_samples = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_SAMPLES", "2"))
     times = {}
+    samples = {}
     rowcounts = {}
     items = [(n, QUERIES[n]) for n in names] if names else list(QUERIES.items())
     for name, fn in items:
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
-        best = time.time() - t0
+        runs = [time.time() - t0]
         cache.release_persisted()
-        # best-of-N against host CPU-steal bursts (single samples swing up
-        # to ~5x): one retry over the threshold, a second when the best is
-        # still 3x over it — all retries share one global time budget so the
-        # bench's worst-case wall time stays bounded
-        retries = 0
-        while (
-            best > retry_threshold
-            and retries < 2
-            # first retry is unconditional (the round-2 behavior); only the
-            # SECOND draws from the shared budget, so early steal bursts
-            # can't starve later queries of their one retry
-            and (retries == 0 or (retry_budget > 0 and best > 3 * retry_threshold))
+        # best-of-N against host CPU-steal bursts: every query gets a
+        # second sample; over-threshold queries may draw ONE more from the
+        # shared budget, so the bench's worst-case wall stays bounded
+        while len(runs) < min_samples or (
+            min(runs) > 3 * retry_threshold
+            and len(runs) < min_samples + 1
+            and retry_budget > 0
         ):
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
-            if retries > 0:
+            if len(runs) >= min_samples:
                 retry_budget -= dt
-            best = min(best, dt)
+            runs.append(dt)
             cache.release_persisted()
-            retries += 1
-        times[name] = round(best, 3)
+        times[name] = round(min(runs), 3)
+        samples[name] = [round(r, 3) for r in runs]
         rowcounts[name] = n
-    return times, rowcounts
+    return times, rowcounts, samples
 
 
 def run_flagship_throughput(spark, sf_dir):
@@ -127,7 +128,7 @@ def main():
         # Warm up JVM + Python workers + kernel table builds.
         run_flagship_throughput(spark, SF_DIR)
 
-        times, rowcounts = run_queries(spark, SF_DIR)
+        times, rowcounts, samples = run_queries(spark, SF_DIR)
         flag_sec, n_rows = run_flagship_throughput(spark, SF_DIR)
         flag_sec2, _ = run_flagship_throughput(spark, SF_DIR)
         flag_sec = min(flag_sec, flag_sec2)
@@ -138,7 +139,7 @@ def main():
     # SECOND PASS — snapshot-inclusive wall time for the oracle-snapshot
     # queries (what the correctness run pays, including the /tmp parquet
     # round-trip the oracle needs).
-    io_times, _ = run_queries(spark, SF_DIR, names=list(SNAPSHOT_QUERIES))
+    io_times, _, _ = run_queries(spark, SF_DIR, names=list(SNAPSHOT_QUERIES))
 
     result = {
         "metric": "spatial-join + cell-assignment wall time (flagship images pipeline)",
@@ -149,6 +150,12 @@ def main():
         # (oracle-snapshot parquet round-trips skipped); the r03-and-earlier
         # comparable numbers for snapshot queries are `queries_oracle_io`
         "queries_mode": "engine_only (SPARK_GRAFT_SKIP_SNAPSHOT)",
+        # PROTOCOL CHANGE (r6): every query is best-of->=2 (raw samples
+        # below) — r5-and-earlier sub-threshold numbers were single samples,
+        # so per-query comparisons across that boundary favor r6 by up to
+        # one steal burst
+        "queries_protocol": "best_of_2_plus (min over queries_samples)",
+        "queries_samples": samples,
         "queries_oracle_io": io_times,
         "sf": _sf_of(SF_DIR),
         "rows": n_rows,
