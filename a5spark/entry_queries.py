@@ -1616,14 +1616,20 @@ def q_knn_images(spark, sf_dir):
     iterative radius growth with per-round completeness guarantee. Oracle:
     brute-force haversine row_number ranking (ties by image_id)."""
     from a5spark import cache
-    from a5spark.operators.knn import knn_join
+    from a5spark.operators.knn import knn_join, pick_index_resolution
     from a5spark.operators.spatial import assign_cells
 
-    # res 7 index: the cap accounting adds one query-cell radius, so a
-    # coarse index floors every round at ~cell_rad(5)=147 km no matter how
-    # tight the density-adaptive radius gets; 37 km cells keep round-1
-    # candidate volume ~density * (r + accounting)^2 small on dense tables
-    img = cache.persist(assign_cells(images_from_sf_dir(spark, sf_dir), 7))
+    # density-adaptive index resolution (round 6): the cap accounting adds
+    # one index-cell radius to every round, so the index granularity must
+    # track point density — a fixed res over-admits quadratically as the
+    # corpus grows (res 7 was right for 150k rows but ~13x over-provisioned
+    # at 15M; see pick_index_resolution and BASELINE.md sf10). The count is
+    # one metadata-cheap job; the oracle is brute-force haversine, so the
+    # index choice can never change results.
+    base = images_from_sf_dir(spark, sf_dir)
+    n_pts = base.count()
+    res = pick_index_resolution(n_pts, 5)
+    img = cache.persist(assign_cells(base, res))
     queries = img.filter(F.col("k") % 200 == 0).select(
         F.col("image_id").alias("query_id"), "lon", "lat", "cell"
     )
@@ -1632,7 +1638,8 @@ def q_knn_images(spark, sf_dir):
     # equidistant, where raw-double ranking is libm-ULP noise that differs
     # between Spark and DuckDB — quantize, then break ties by image_id
     out = knn_join(
-        queries, pts, k=5, resolution=7, point_id="image_id", tie_quantum_decimals=6
+        queries, pts, k=5, resolution=res, point_id="image_id",
+        tie_quantum_decimals=6, points_count=n_pts,
     )
     return out.select(
         "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")

@@ -115,6 +115,42 @@ def a5_cap_cover(cell: pd.Series, radius_m: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def pick_index_resolution(n_points: int, k: int, max_res: int = 15) -> int:
+    """Density-adaptive INDEX resolution for knn_join: the finest res in
+    [2, max_res] whose cell radius stays >= r_k/4, where
+    r_k = 4R*sqrt(k/n) is the density radius (the cap expected to hold
+    ~4k neighbors).
+
+    Why this shape: round-1 candidate volume scales with
+    (max(r_k, cell_rad) + cell_rad + 2*cov_rad)^2 * density — the index
+    cell radius enters BOTH as the round-1 floor and as the cap
+    accounting's additive margin. Too coarse (cell_rad >> r_k) floors the
+    radius far above r_k; too fine buys nothing once the margin is small
+    but grows the per-query cover join. cell_rad ~ r_k/4..r_k keeps the
+    margin a small multiple of r_k; at 150k points / k=5 this reproduces
+    exactly the hand-tuned res 7 the registry query shipped with.
+
+    Why it matters at scale (measured, sf10 point in BASELINE.md round 6):
+    a FIXED index res over-admits as density grows — res 7 at 15M points
+    floors the cap at 51 km where ~15 km holds 4k neighbors, ~13x the
+    candidate rows per query vs the adaptive res 10. Same scale rule as
+    bucketed-join key resolution: spatial key granularity must track
+    density."""
+    from a5spark.kernels.constants import AUTHALIC_RADIUS_EARTH
+    from a5spark.kernels.traversal import estimate_cell_radius
+
+    r_k = 4.0 * AUTHALIC_RADIUS_EARTH * math.sqrt(
+        max(k, 1) / float(max(n_points, 1))
+    )
+    res = 2
+    for r in range(2, max_res + 1):
+        if estimate_cell_radius(r) >= r_k / 4.0:
+            res = r
+        else:
+            break
+    return res
+
+
 def pick_cover_resolution(radius_m: float, index_resolution: int, max_cells: int = 512) -> int:
     """Coarsest resolution in [2, index_resolution] whose cells keep the
     expected cap cover under `max_cells` — bounds cover size for any radius."""

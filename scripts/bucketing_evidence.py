@@ -29,7 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _DEFAULT = "/tmp/a5spark_sf1" if os.path.isdir("/tmp/a5spark_sf1") else "/root/testdata/sf0.1"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", _DEFAULT)
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-N_BUCKETS = 32
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
+# Join-key resolution. SCALE RULE (learned at the sf10 point, BASELINE.md):
+# per-key join fan-out is quadratic in rows-per-cell, so the key resolution
+# must grow with the corpus to keep rows/cell bounded — res 3 is right for
+# ~150k images, res 7 for ~15M; a fixed-res key turns ANY equi-join
+# (bucketed or shuffled) quadratic at scale.
+RES = int(os.environ.get("SPARK_GRAFT_BUCKET_RES", "3"))
 BASE = "/tmp/a5spark_bucketing_evidence"
 
 
@@ -71,7 +77,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    img = assign_cells(images_from_sf_dir(spark, SF_DIR), 3)
+    img = assign_cells(images_from_sf_dir(spark, SF_DIR), RES)
     feed_a = img.filter(F.col("k") % 2 == 0).select(
         "cell", F.col("image_id").alias("a_id"), F.col("w").alias("a_w")
     )

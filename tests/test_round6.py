@@ -689,3 +689,24 @@ def test_bucketed_join_hot_cell_skew_witness(spark):
         assert hot_rows >= n // 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- density-adaptive kNN index resolution ----------------------------------
+
+
+def test_pick_index_resolution_tracks_density():
+    """The index granularity rule learned at the sf10 point: finest res
+    whose cell radius stays >= r_k/4. Reproduces the hand-tuned res 7 at
+    150k points and tightens as density grows; monotone non-decreasing in
+    n, clamped to [2, max_res]."""
+    from a5spark.operators.knn import pick_index_resolution
+
+    assert pick_index_resolution(150_000, 5) == 7
+    assert pick_index_resolution(15_000, 5) == 5
+    assert pick_index_resolution(15_000_000, 5) == 10
+    last = 2
+    for n in (100, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**12):
+        r = pick_index_resolution(n, 5)
+        assert r >= last and 2 <= r <= 15
+        last = r
+    assert pick_index_resolution(10**18, 5, max_res=12) == 12
