@@ -290,12 +290,38 @@ def _commit_manifest(
                 fs.delete(cur, False)
             fs.rename(tmp, cur)
             return committed
+        current = read_manifest(spark, path)
+        if current.get("version", -1) < version:
+            # The v{version} file exists but no commit at that version is
+            # readable: either a concurrent writer is BETWEEN create and
+            # close (ms-scale — wait it out), or a writer CRASHED there and
+            # left a torn reservation that would block every future commit.
+            # After the grace window, repair by deleting the torn file and
+            # retaking the reservation. Assumption (documented): no live
+            # writer stalls >~2 s inside a sub-MB metadata write.
+            import time as _time
+
+            healed = False
+            for _ in range(4):
+                _time.sleep(0.5)
+                current = read_manifest(spark, path)
+                if current.get("version", -1) >= version:
+                    healed = True
+                    break
+            if not healed:
+                fs, _, jvm = _fs(spark, path)
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{path}/{VERSIONS_DIR}/v{version:06d}.json"
+                    ),
+                    False,
+                )
+                continue  # retake the same version
         if retry_update is None:
             raise ConcurrentCommitError(
                 f"manifest version {version} at {path} was committed by a "
                 "concurrent writer; this operation cannot merge its update"
             )
-        current = read_manifest(spark, path)
         manifest = retry_update(current)
         if manifest is None:  # the change is already in the current state
             return current
@@ -304,21 +330,27 @@ def _commit_manifest(
     )
 
 
-def _max_committed_version(spark: SparkSession, path: str) -> int:
-    """Highest version number in the version log, or -1 if none."""
+def _version_numbers(spark: SparkSession, path: str) -> list[int]:
+    """Version numbers present in the version log, descending."""
     fs, _, jvm = _fs(spark, path)
     vdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{VERSIONS_DIR}")
     if not fs.exists(vdir):
-        return -1
-    best = -1
+        return []
+    out = []
     for st in fs.listStatus(vdir):
         n = st.getPath().getName()
         if n.startswith("v") and n.endswith(".json"):
             try:
-                best = max(best, int(n[1:-5]))
+                out.append(int(n[1:-5]))
             except ValueError:
                 pass
-    return best
+    return sorted(out, reverse=True)
+
+
+def _max_committed_version(spark: SparkSession, path: str) -> int:
+    """Highest version number in the version log, or -1 if none."""
+    vs = _version_numbers(spark, path)
+    return vs[0] if vs else -1
 
 
 def read_manifest(
@@ -331,25 +363,36 @@ def read_manifest(
     cache, so if the log holds a NEWER committed version than the pointer
     (a crash between commit and pointer write, or two contended writers
     updating the pointer out of order), the newest log entry wins; a
-    missing or torn pointer likewise recovers from the log. One extra
-    listStatus per read — driver-side metadata I/O, the price of
+    missing or torn pointer likewise recovers from the log. A TORN version
+    log entry (a writer crashed between reserving the file and finishing
+    its write) is skipped — a commit only exists once its content is
+    complete, so the newest PARSEABLE entry is the newest real commit.
+    One extra listStatus per read — driver-side metadata I/O, the price of
     linearizable reads without a catalog service."""
     if version is not None:
         return json.loads(
             _read_text(spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json")
         )
-    best = _max_committed_version(spark, path)
     try:
         cur = json.loads(_read_text(spark, f"{path}/{MANIFEST_NAME}"))
     except Exception:
-        if best < 0:
-            raise
         cur = None
-    if cur is not None and cur.get("version", -1) >= best:
-        return cur
-    return json.loads(
-        _read_text(spark, f"{path}/{VERSIONS_DIR}/v{best:06d}.json")
-    )
+    newest = None
+    for v in _version_numbers(spark, path):
+        if cur is not None and cur.get("version", -1) >= v:
+            break  # the pointer is at least as new as every remaining log
+        try:
+            newest = json.loads(
+                _read_text(spark, f"{path}/{VERSIONS_DIR}/v{v:06d}.json")
+            )
+            break
+        except Exception:
+            continue  # torn entry — not a commit
+    if newest is not None:
+        return newest
+    if cur is None:
+        raise FileNotFoundError(f"no readable manifest at {path}")
+    return cur
 
 
 def _select_files(manifest: dict, ranges: list[tuple[int, int]]):
@@ -696,6 +739,20 @@ def vacuum_cell_layout(
                     continue
                 if vnum <= current_v - retain_versions:
                     fs.delete(st.getPath(), False)
+                elif vnum <= current_v:
+                    # a version log at or below the committed head that does
+                    # not parse is a TORN entry from a crashed writer (a
+                    # real commit at that version would be readable) —
+                    # repair it so reads never have to skip it again; the
+                    # in-flight window (> current_v) is never touched
+                    try:
+                        json.loads(
+                            _read_text(
+                                spark, f"{path}/{VERSIONS_DIR}/{vname}"
+                            )
+                        )
+                    except Exception:
+                        fs.delete(st.getPath(), False)
     removed = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()

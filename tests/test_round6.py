@@ -710,3 +710,36 @@ def test_pick_index_resolution_tracks_density():
         assert r >= last and 2 <= r <= 15
         last = r
     assert pick_index_resolution(10**18, 5, max_res=12) == 12
+
+
+def test_torn_version_log_is_skipped_and_repaired(spark):
+    """A writer that crashed between reserving v{N+1} and finishing its
+    write leaves a torn version log. Reads must skip it (the newest
+    PARSEABLE entry is the newest real commit), a later commit must repair
+    the blocker after the grace window instead of spinning forever, and
+    vacuum deletes torn entries at or below the committed head."""
+    from a5spark.operators import layout
+    from a5spark.pipeline.checkpoint import _write_text
+
+    d = "/tmp/a5spark_test/cas_torn_r6"
+    _mini_layout(spark, d)
+    m0 = layout.read_manifest(spark, d)
+    v_torn = m0["version"] + 1
+    # simulate the crash window: reservation exists, content incomplete
+    _write_text(spark, f"{d}/{layout.VERSIONS_DIR}/v{v_torn:06d}.json",
+                '{"version": ')
+    # reads skip the torn entry
+    assert layout.read_manifest(spark, d)["version"] == m0["version"]
+    # a commit repairs the torn reservation and lands AT that version
+    m1 = layout._commit_manifest(spark, d, {**m0, "marker": "after_torn"})
+    assert m1["version"] == v_torn
+    assert layout.read_manifest(spark, d).get("marker") == "after_torn"
+    # vacuum repairs a torn entry below the committed head
+    _write_text(spark, f"{d}/{layout.VERSIONS_DIR}/v{m0['version']:06d}.json",
+                "junk{")
+    layout.vacuum_cell_layout(spark, d, retain_versions=10)
+    from a5spark.pipeline import checkpoint as cp
+    fs, _, jvm = cp._fs(spark, d)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(
+        f"{d}/{layout.VERSIONS_DIR}/v{m0['version']:06d}.json"))
+    shutil.rmtree(d, ignore_errors=True)
