@@ -2857,6 +2857,102 @@ def oracle_boundary_wkt():
     """
 
 
+_COVER_EXPORT_SNAPSHOT = "/tmp/a5spark_oracle/cover_export_r6"
+
+
+def q_cover_export_wkt(spark, sf_dir):
+    """Cover -> MULTIPOLYGON export (round 6; the inverse direction of the
+    multi-part parsers): each polygon's compacted cover serializes to one
+    fixed-point MULTIPOLYGON — one part per cover cell, parts in cell
+    order. Boundary vertices are fixture-pinned elsewhere; what this
+    oracle value-checks is the part assembly: per-cell ring rebuild,
+    cell-order aggregation, truncation arithmetic, and the nested string
+    build, reproduced independently by DuckDB's two-level ordered
+    string_agg over the exploded snapshot vertices. Output hashes the WKT
+    (md5 + length) so compared rows stay small."""
+    from a5spark.functions.gis import rings_to_multipolygon_wkt_fixed
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.operators.polygons import polyfill_cover
+    import json as _json
+
+    polys = [
+        ("uk_box", [[[-8.0, 50.0], [2.0, 50.0], [2.0, 59.0], [-8.0, 59.0]]]),
+        ("alps_tri", [[[6.0, 44.0], [14.0, 45.0], [10.0, 48.0]]]),
+        ("horn", [[[40.0, 2.0], [52.0, 2.0], [52.0, 12.0], [44.0, 12.0]]]),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, _json.dumps(rings)) for pid, rings in polys],
+        ["polygon_id", "rings_json"],
+    )
+    cover = polyfill_cover(pdf, resolution=5)
+    exploded = (
+        cover.select(
+            "polygon_id",
+            "cell",
+            F.posexplode(a5_cell_to_boundary(F.col("cell"))).alias("idx", "pt"),
+        )
+        .select(
+            "polygon_id", "cell", "idx",
+            F.col("pt")[0].alias("lon"), F.col("pt")[1].alias("lat"),
+        )
+    )
+    snap = _snapshot(exploded, _COVER_EXPORT_SNAPSHOT)
+    rings = (
+        snap.groupBy("polygon_id", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "lon", "lat"))).alias("pts"))
+        .select(
+            "polygon_id",
+            F.struct(
+                F.col("cell"),
+                F.transform("pts", lambda s: F.array(s["lon"], s["lat"])).alias(
+                    "ring"
+                ),
+            ).alias("part"),
+        )
+    )
+    mp = (
+        rings.groupBy("polygon_id")
+        .agg(F.array_sort(F.collect_list("part")).alias("parts"))
+        .select(
+            "polygon_id",
+            F.size("parts").cast("long").alias("n_parts"),
+            rings_to_multipolygon_wkt_fixed(
+                F.transform("parts", lambda s: s["ring"])
+            ).alias("wkt"),
+        )
+    )
+    return mp.select(
+        "polygon_id",
+        "n_parts",
+        F.length("wkt").cast("long").alias("wkt_len"),
+        F.md5(F.col("wkt").cast("binary")).alias("wkt_md5"),
+    ).orderBy("polygon_id")
+
+
+def oracle_cover_export_wkt():
+    return f"""
+    WITH ring AS (
+      SELECT polygon_id, cell,
+             '((' || string_agg(
+                 CAST(CAST(trunc(lon*1e7) AS BIGINT) AS VARCHAR)
+                 || ' ' ||
+                 CAST(CAST(trunc(lat*1e7) AS BIGINT) AS VARCHAR),
+                 ', ' ORDER BY idx) || '))' AS part,
+             count(*) AS n_pts
+      FROM read_parquet('{_COVER_EXPORT_SNAPSHOT}/*.parquet')
+      GROUP BY polygon_id, cell
+    ), mp AS (
+      SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_parts,
+             'MULTIPOLYGON (' || string_agg(part, ', ' ORDER BY cell) || ')' AS wkt
+      FROM ring WHERE n_pts >= 4 GROUP BY polygon_id
+    )
+    SELECT polygon_id, n_parts,
+           CAST(length(wkt) AS BIGINT) AS wkt_len,
+           md5(wkt) AS wkt_md5
+    FROM mp ORDER BY polygon_id
+    """
+
+
 QUERIES = {
     "hier_parent_rollup": q_hier_parent_rollup,
     "hier_resolution": q_hier_resolution,
@@ -2906,6 +3002,7 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "bucketed_join": q_bucketed_join,
     "boundary_wkt": q_boundary_wkt,
+    "cover_export_wkt": q_cover_export_wkt,
 }
 
 # queries whose plan includes an oracle-snapshot parquet write+read (skipped
@@ -2923,6 +3020,7 @@ SNAPSHOT_QUERIES = (
     "s2_crossindex",
     "tile_pyramid",
     "boundary_wkt",
+    "cover_export_wkt",
 )
 
 ORACLES = {
@@ -2974,4 +3072,5 @@ ORACLES = {
     "streaming_sessions": oracle_streaming_sessions(),
     "bucketed_join": oracle_bucketed_join(),
     "boundary_wkt": oracle_boundary_wkt(),
+    "cover_export_wkt": oracle_cover_export_wkt(),
 }

@@ -65,6 +65,65 @@ def ring_to_geojson(ring: Column, precision: int = 7) -> Column:
     )
 
 
+def rings_to_multipolygon_wkt(rings: Column, precision: int = 7) -> Column:
+    """`MULTIPOLYGON (((...)), ((...)))` from an `array<array<array<double>>>`
+    of closed lonlat rings — one single-ring polygon part per ring (A5 cell
+    boundaries have no holes, so a cell cover's parts are exactly its cell
+    rings). Rings shorter than WKT's 4-point closed-ring minimum are
+    dropped; no valid ring yields `MULTIPOLYGON EMPTY`. Pure Catalyst, like
+    the POLYGON builders (see module docstring for the float-format
+    caveat; use the _fixed variant for cross-engine hashing)."""
+    fmt = f"%.{precision}f %.{precision}f"
+    kept = F.filter(rings, lambda ring: F.size(ring) >= 4)
+    parts = F.transform(
+        kept,
+        lambda ring: F.concat(
+            F.lit("(("),
+            F.array_join(
+                F.transform(ring, lambda p: F.format_string(fmt, p[0], p[1])),
+                ", ",
+            ),
+            F.lit("))"),
+        ),
+    )
+    return F.when(
+        F.coalesce(F.size(kept), F.lit(0)) == 0, F.lit("MULTIPOLYGON EMPTY")
+    ).otherwise(
+        F.concat(F.lit("MULTIPOLYGON ("), F.array_join(parts, ", "), F.lit(")"))
+    )
+
+
+def rings_to_multipolygon_wkt_fixed(rings: Column, scale: int = 7) -> Column:
+    """Fixed-point MULTIPOLYGON (truncation-exact integer 10^-scale degrees
+    — bit-identical across engines, safe to value-hash; see
+    `ring_to_wkt_fixed`)."""
+    mult = F.lit(float(10**scale))
+    kept = F.filter(rings, lambda ring: F.size(ring) >= 4)
+    parts = F.transform(
+        kept,
+        lambda ring: F.concat(
+            F.lit("(("),
+            F.array_join(
+                F.transform(
+                    ring,
+                    lambda p: F.concat_ws(
+                        " ",
+                        (p[0] * mult).cast("long").cast("string"),
+                        (p[1] * mult).cast("long").cast("string"),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit("))"),
+        ),
+    )
+    return F.when(
+        F.coalesce(F.size(kept), F.lit(0)) == 0, F.lit("MULTIPOLYGON EMPTY")
+    ).otherwise(
+        F.concat(F.lit("MULTIPOLYGON ("), F.array_join(parts, ", "), F.lit(")"))
+    )
+
+
 def wkt_polygon_ring(wkt: Column) -> Column:
     """Outer ring of a `POLYGON ((...))` WKT string as
     `array<array<double>>` — the inverse of `ring_to_wkt`. Derived from the

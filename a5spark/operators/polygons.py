@@ -331,3 +331,50 @@ def polyfill_cover_geojson(
     return _polyfill_cover_parts(
         polygons, geojson_polygon_parts(F.col(geojson_col)), resolution, id_col
     )
+
+
+def cover_to_multipolygon_wkt(
+    cover: DataFrame,
+    id_col: str = "polygon_id",
+    cell_col: str = "cell",
+    precision: int = 7,
+    fixed: bool = False,
+) -> DataFrame:
+    """Export a (id, cell) cover relation as one MULTIPOLYGON WKT row per
+    id — the inverse direction of `polyfill_cover_wkt` (parse multi in,
+    export multi out): each cover cell's boundary ring becomes one polygon
+    part, parts ordered by cell id (deterministic, engine-independent).
+
+    Scale bound: the per-id collect_list holds one ring (~10-120 points)
+    per cover cell, so the output string is O(cover size per id) — covers
+    are compact by design (polyfill compacts; a res-7 country is 10^2-10^4
+    cells), and the aggregation is a standard hash agg on the id key.
+    `fixed=True` renders truncation-exact fixed-point coordinates for
+    cross-engine hashing (functions.gis.rings_to_multipolygon_wkt_fixed).
+    """
+    from a5spark.functions.gis import (
+        rings_to_multipolygon_wkt,
+        rings_to_multipolygon_wkt_fixed,
+    )
+    from a5spark.functions.udfs import a5_cell_to_boundary
+
+    build = (
+        (lambda c: rings_to_multipolygon_wkt_fixed(c, precision))
+        if fixed
+        else (lambda c: rings_to_multipolygon_wkt(c, precision))
+    )
+    ringed = cover.select(
+        F.col(id_col),
+        F.struct(
+            F.col(cell_col).alias("cell"),
+            a5_cell_to_boundary(F.col(cell_col)).alias("ring"),
+        ).alias("part"),
+    )
+    grouped = ringed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("part")).alias("parts")
+    )
+    return grouped.select(
+        F.col(id_col),
+        F.size("parts").cast("long").alias("n_parts"),
+        build(F.transform("parts", lambda s: s["ring"])).alias("wkt"),
+    )

@@ -178,6 +178,8 @@ def test_multipolygon_cover_union_parity_country_fixtures(spark):
         countries["Italy"]["polygon"],           # holed (San Marino/Vatican)
         countries["United Kingdom"]["polygon"],
         countries["New Zealand"]["polygon"],
+        countries["Fiji"]["polygon"],            # antimeridian-touching
+        countries["Russia"]["polygon"],          # antimeridian-spanning
     ]
     res = 4
 
@@ -743,3 +745,51 @@ def test_torn_version_log_is_skipped_and_repaired(spark):
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(
         f"{d}/{layout.VERSIONS_DIR}/v{m0['version']:06d}.json"))
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cover_export_multipolygon_roundtrips_through_parser(spark):
+    """cover_to_multipolygon_wkt closes the GIS loop: the exported
+    MULTIPOLYGON parses back through wkt_polygon_parts into one part per
+    cover cell, with each part's ring matching that cell's boundary to
+    float-print precision."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+    from a5spark.operators.polygons import cover_to_multipolygon_wkt
+
+    lons = np.array([-0.1, 2.35, 13.4])
+    lats = np.array([51.5, 48.86, 52.5])
+    cells = [int(c) for c in to_signed(lonlat_to_cell(lons, lats, 6))]
+    cover = spark.createDataFrame(
+        [("eu", c) for c in cells], ["polygon_id", "cell"]
+    )
+    out = cover_to_multipolygon_wkt(cover, precision=9).collect()
+    assert len(out) == 1 and out[0]["n_parts"] == len(set(cells))
+    wkt = out[0]["wkt"]
+    assert wkt.startswith("MULTIPOLYGON (((")
+
+    parsed = spark.createDataFrame([(wkt,)], ["wkt"]).select(
+        gis.wkt_polygon_parts(F.col("wkt")).alias("parts")
+    ).collect()[0]["parts"]
+    assert len(parsed) == len(set(cells))
+    rings = {
+        r["cell"]: np.asarray(r["ring"])
+        for r in spark.createDataFrame([(c,) for c in set(cells)], ["cell"])
+        .select("cell", a5_cell_to_boundary(F.col("cell")).alias("ring"))
+        .collect()
+    }
+    # parts are in cell order; compare each against its cell's boundary
+    for c, part in zip(sorted(set(cells)), parsed):
+        got = np.asarray(part[0])
+        want = rings[c]
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 1e-8
+
+    # empty cover -> MULTIPOLYGON EMPTY via the builder directly
+    empty = spark.createDataFrame(
+        [([],)], "rings: array<array<array<double>>>"
+    ).select(gis.rings_to_multipolygon_wkt(F.col("rings")).alias("w")).collect()[0]
+    assert empty["w"] == "MULTIPOLYGON EMPTY"
