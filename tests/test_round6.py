@@ -793,3 +793,84 @@ def test_cover_export_multipolygon_roundtrips_through_parser(spark):
         [([],)], "rings: array<array<array<double>>>"
     ).select(gis.rings_to_multipolygon_wkt(F.col("rings")).alias("w")).collect()[0]
     assert empty["w"] == "MULTIPOLYGON EMPTY"
+
+
+def test_wkt_parts_fuzz_structured(spark):
+    """Structured fuzz over the WKT grammar: random polygon/multipolygon/
+    collection layouts with random whitespace, Z/M variants, and hole
+    counts must parse to exactly the generated part/ring/point structure —
+    in ONE Spark pass over the whole generated corpus (the parser is a
+    column expression, so fuzzing batches for free)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+
+    rng = random.Random(20260817)
+
+    def ws():
+        return rng.choice(["", " ", "  ", "\t"])
+
+    def ring(n):
+        pts = [
+            (round(rng.uniform(-179, 179), 4), round(rng.uniform(-89, 89), 4))
+            for _ in range(n - 1)
+        ]
+        pts.append(pts[0])
+        dim = rng.choice(["", "z"])
+        body = ", ".join(
+            f"{x}{ws()} {y}" + (f" {rng.randint(0, 9)}" if dim else "")
+            for x, y in pts
+        )
+        return "(" + body + ")", n, dim
+
+    cases = []
+    for i in range(60):
+        kind = rng.choice(["poly", "mpoly", "gc"])
+        zm = ""
+        parts_spec = []
+        if kind == "poly":
+            n_rings = rng.randint(1, 3)
+            rs = [ring(rng.randint(4, 7)) for _ in range(n_rings)]
+            zm = "Z" if any(r[2] for r in rs) else ""
+            txt = f"POLYGON{ws()}{zm}{ws()}(" + ",".join(r[0] for r in rs) + ")"
+            parts_spec = [[r[1] for r in rs]]
+        elif kind == "mpoly":
+            n_parts = rng.randint(1, 4)
+            spec = []
+            ptxts = []
+            any_z = False
+            for _ in range(n_parts):
+                rs = [ring(rng.randint(4, 6)) for _ in range(rng.randint(1, 2))]
+                any_z = any_z or any(r[2] for r in rs)
+                ptxts.append("(" + ",".join(r[0] for r in rs) + ")")
+                spec.append([r[1] for r in rs])
+            zm = "Z" if any_z else ""
+            txt = f"MULTIPOLYGON{ws()}{zm}{ws()}(" + f",{ws()}".join(ptxts) + ")"
+            parts_spec = spec
+        else:
+            r1 = ring(rng.randint(4, 6))
+            r2 = ring(rng.randint(4, 6))
+            txt = (
+                f"GEOMETRYCOLLECTION{ws()}(POINT (1 2), "
+                f"POLYGON{ws()}{'Z' if r1[2] else ''}{ws()}(({r1[0][1:-1]})), "
+                f"MULTIPOLYGON{ws()}{'Z' if r2[2] else ''}{ws()}((({r2[0][1:-1]}))))"
+            )
+            parts_spec = [[r1[1]], [r2[1]]]
+        cases.append((str(i), txt, parts_spec))
+
+    df = spark.createDataFrame([(n, t) for n, t, _ in cases], ["name", "wkt"])
+    got = {
+        r["name"]: [[len(ring) for ring in part] for part in r["parts"]]
+        for r in df.select(
+            "name", gis.wkt_polygon_parts(F.col("wkt")).alias("parts")
+        ).collect()
+    }
+    for name, txt, want in cases:
+        assert got[name] == want, (txt, got[name], want)
+    # every parsed point is strictly 2-D regardless of Z payloads
+    flat = df.select(
+        F.explode(F.flatten(F.flatten(gis.wkt_polygon_parts(F.col("wkt"))))).alias("pt")
+    ).select(F.size("pt").alias("d")).distinct().collect()
+    assert {r["d"] for r in flat} == {2}
