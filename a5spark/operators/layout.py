@@ -472,6 +472,7 @@ def optimize_cell_layout(
     write_options: dict | None = None,
     retain_old: bool = False,
     retain_versions: int = 2,
+    parallel_bins: int | None = None,
 ) -> dict:
     """Bin-pack a cell layout's small files into ~target-size files without
     breaking the clustering invariant — the maintenance half of the layout
@@ -500,8 +501,13 @@ def optimize_cell_layout(
     start of each optimize) reclaims them. Raw full-directory reads bypass
     the manifest and are only duplicate-free after a vacuum — in production
     the table format's snapshot plays this manifest's role atomically.
-    Bins are independent — a production maintenance scheduler runs them as
-    parallel jobs; here they run sequentially for determinism.
+    Bins are independent (key-disjoint by construction); `parallel_bins=N`
+    runs them as N concurrent Spark jobs from driver threads — each bin's
+    CAS commit merges onto whatever siblings committed first, so the
+    manifest chain stays linear while the merge WORK overlaps (the
+    maintenance-scheduler parallelism production table formats get,
+    enabled by the round-6 optimistic commit protocol). Default stays
+    sequential (deterministic version order).
 
     With `retain_old=True` step (4) is skipped: old files stay on disk so
     readers pinned to an earlier manifest version (scan_cell_layout
@@ -571,8 +577,9 @@ def optimize_cell_layout(
 
     fs, _, jvm = _fs(spark, path)
     tmp_root = f"{path}/_optimize_tmp"
-    current = list(files)
-    for i, b in enumerate(bins):
+    base_version = manifest.get("version", -1)
+
+    def _run_bin(i: int, b: list[dict]) -> None:
         tmp_dir = f"{tmp_root}/bin-{i}"
         df = spark.read.parquet(*[f"{path}/{e['file']}" for e in b])
         writer = df.coalesce(1).sortWithinPartitions(key_col).write.mode("overwrite")
@@ -585,16 +592,17 @@ def optimize_cell_layout(
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
         assert len(part) == 1, f"expected one part file in {tmp_dir}"
-        # unique per COMMIT: the next manifest version + the bin's lowest
-        # key. A key-only name collides when a re-optimize re-bins an
-        # earlier opt- file with the same lo — the old code would then
-        # overwrite that still-referenced file in place (corrupting
-        # retained snapshots) and the delete loop below would remove the
-        # freshly committed file (data loss). Version-prefixed names are
-        # never re-bin targets of themselves and never collide with
-        # committed files (versions only grow, even across crashes).
+        # unique per RUN: base version + the bin's lowest key. A key-only
+        # name collides when a re-optimize re-bins an earlier opt- file
+        # with the same lo — the old code would then overwrite that
+        # still-referenced file in place (corrupting retained snapshots)
+        # and the delete loop below would remove the freshly committed
+        # file (data loss). Version-prefixed names are never re-bin
+        # targets of themselves and never collide with committed files
+        # (versions only grow, even across crashes); within one run the
+        # lo-hash suffix is unique because bins are key-disjoint.
         name = (
-            f"opt-v{manifest.get('version', -1) + 1:06d}-"
+            f"opt-v{base_version + 1:06d}-"
             f"{(min(e['lo'] for e in b) + (1 << 63)) & _M64:016x}.parquet"
         )
         assert name not in {e["file"] for e in b}
@@ -613,17 +621,14 @@ def optimize_cell_layout(
             rows=sum(e["rows"] for e in b),
         )
         bin_names = {e["file"] for e in b}
-        current = sorted(
-            [e for e in current if e["file"] not in bin_names] + [entry],
-            key=lambda e: e["lo"],
-        )
 
         def _apply(cur: dict) -> dict:
-            # merge this bin's swap onto a concurrent winner's manifest —
-            # safe iff the winner left every bin file alone (a racing
-            # APPEND only adds files); if another OPTIMIZE already rewrote
-            # one, committing would double-count its rows, so abort and
-            # leave our merged file as an orphan for vacuum
+            # merge this bin's swap onto the current manifest — safe iff
+            # every bin file is still referenced (racing APPENDs only add
+            # files; SIBLING bins of this run touch disjoint files); if
+            # another optimize already rewrote one, committing would
+            # double-count its rows, so abort and leave our merged file as
+            # an orphan for vacuum
             have = {e["file"] for e in cur["files"]}
             if not bin_names <= have:
                 raise ConcurrentCommitError(
@@ -639,19 +644,34 @@ def optimize_cell_layout(
                 ),
             }
 
-        manifest = _commit_manifest(
-            spark, path, {**manifest, "files": current}, retry_update=_apply
+        committed = _commit_manifest(
+            spark, path, _apply(read_manifest(spark, path)), retry_update=_apply
         )
-        # sync to the COMMITTED state: a retried commit may have merged a
-        # concurrent append's files, which the next bin's proposal must
-        # carry forward rather than silently drop
-        current = manifest["files"]
         if not retain_old:
-            # old files are unreferenced by CURRENT as of the commit above
+            # this bin's old files are unreferenced by CURRENT as of the
+            # commit above (sibling bins never reference them)
             for e in b:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False
                 )
+
+    if parallel_bins and len(bins) > 1:
+        # bins are key-disjoint, so they may run as concurrent Spark jobs
+        # (thread-safe job submission); each bin's CAS commit merges onto
+        # whatever siblings committed first — the maintenance-scheduler
+        # parallelism production table formats get, enabled by the round-6
+        # optimistic commit protocol
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=int(parallel_bins)) as pool:
+            futures = [pool.submit(_run_bin, i, b) for i, b in enumerate(bins)]
+            for f in futures:
+                f.result()
+    else:
+        for i, b in enumerate(bins):
+            _run_bin(i, b)
+    manifest = read_manifest(spark, path)
+    current = manifest["files"]
     _delete_dir(spark, tmp_root)
     stats["files_after"] = len(current)
     return stats

@@ -6,6 +6,7 @@ the Spark surface, and the bucketed-join hot-cell skew witness."""
 import json
 import os
 import shutil
+from functools import reduce
 
 import numpy as np
 import pytest
@@ -874,3 +875,51 @@ def test_wkt_parts_fuzz_structured(spark):
         F.explode(F.flatten(F.flatten(gis.wkt_polygon_parts(F.col("wkt"))))).alias("pt")
     ).select(F.size("pt").alias("d")).distinct().collect()
     assert {r["d"] for r in flat} == {2}
+
+
+def test_optimize_parallel_bins_commit_chain(spark):
+    """parallel_bins runs key-disjoint bins as concurrent Spark jobs; their
+    CAS commits serialize into a linear version chain with no lost bin:
+    every bin lands exactly one commit, rows survive, and the pruned scan
+    stays exact."""
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _LAYOUT_COVER, _spark_cell9
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cas_parallel_opt_r6"
+    shutil.rmtree(d, ignore_errors=True)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    layout.write_cell_layout(df, d, cell="cell", n_files=12)
+    man0 = layout.read_manifest(spark, d)
+    total_rows = sum(e["rows"] for e in man0["files"])
+    sizes = [e["bytes"] for e in man0["files"]]
+    # force >= 2 bins: small target so a bin holds ~3 files
+    target = sum(sizes) // 3
+    stats = layout.optimize_cell_layout(
+        spark, d,
+        target_file_bytes=target,
+        min_file_bytes=max(sizes) + 1,
+        parallel_bins=4,
+    )
+    assert stats["bins"] >= 2
+    man1 = layout.read_manifest(spark, d)
+    assert sum(e["rows"] for e in man1["files"]) == total_rows
+    assert stats["files_after"] < stats["files_before"]
+    # one commit per bin, linear chain, none lost
+    assert man1["version"] == man0["version"] + stats["bins"]
+    for v in range(man0["version"], man1["version"] + 1):
+        layout.read_manifest(spark, d, version=v)  # every version readable
+    scanned, st = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    from a5spark.functions import native
+    keyed = df.withColumn("cell_key", native.shifted_key(F.col("cell")))
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    pred = reduce(
+        lambda a, b: a | b,
+        [F.col("cell_key").between(lo, hi) for lo, hi in ranges],
+    )
+    want = sorted(tuple(r) for r in keyed.filter(pred).collect())
+    assert sorted(tuple(r) for r in scanned.collect()) == want
+    assert layout.vacuum_cell_layout(spark, d, retain_versions=1) == []
+    shutil.rmtree(d, ignore_errors=True)
