@@ -923,3 +923,63 @@ def test_optimize_parallel_bins_commit_chain(spark):
     assert sorted(tuple(r) for r in scanned.collect()) == want
     assert layout.vacuum_cell_layout(spark, d, retain_versions=1) == []
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_live_append_races_parallel_optimize(spark):
+    """Real contention (no monkeypatching): an append commits WHILE a
+    parallel optimize is mid-flight. The CAS protocol serializes them —
+    no version lost, appended rows AND merged rows all present, and a
+    reader pinned to the pre-maintenance version still gets its exact
+    snapshot (retain_old)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _spark_cell9
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/cas_live_race_r6"
+    shutil.rmtree(d, ignore_errors=True)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    base = df.filter(F.col("l_quantity") <= 30)
+    extra = df.filter(F.col("l_quantity") > 30)
+    layout.write_cell_layout(base, d, cell="cell", n_files=12)
+    man0 = layout.read_manifest(spark, d)
+    pin = man0["version"]
+    base_rows = sum(e["rows"] for e in man0["files"])
+    sizes = [e["bytes"] for e in man0["files"]]
+
+    errs = []
+
+    def do_append():
+        try:
+            layout.append_cell_layout(extra, d, batch_id=99, n_files=2)
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    t = threading.Thread(target=do_append)
+    t.start()
+    stats = layout.optimize_cell_layout(
+        spark, d,
+        target_file_bytes=sum(sizes) // 3,
+        min_file_bytes=max(sizes) + 1,
+        parallel_bins=4,
+        retain_old=True,
+    )
+    t.join(120)
+    assert not t.is_alive() and errs == []
+    assert stats["bins"] >= 2
+
+    man = layout.read_manifest(spark, d)
+    assert 99 in man.get("batches", [])
+    assert sum(e["rows"] for e in man["files"]) == df.count()
+    # linear chain: bins + append = exactly that many new versions
+    assert man["version"] == pin + stats["bins"] + 1
+    for v in range(pin, man["version"] + 1):
+        layout.read_manifest(spark, d, version=v)
+    # pinned pre-maintenance reader still consistent (retain_old)
+    mpin = layout.read_manifest(spark, d, version=pin)
+    got = spark.read.parquet(*[f'{d}/{e["file"]}' for e in mpin["files"]]).count()
+    assert got == base_rows
+    shutil.rmtree(d, ignore_errors=True)
