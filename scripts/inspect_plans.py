@@ -43,6 +43,9 @@ AUDIT = [
     "cell_layout_scan",
     "bucketed_join",
     "boundary_wkt",
+    "polyfill_multipolygon",
+    "image_png_stats",
+    "cover_export_wkt",
 ]
 
 # prose audit notes appended under the matching plan — measured context the
@@ -100,6 +103,42 @@ NOTES = {
         "so the post-hoc explain() here shows the checkpoint scan, not the "
         "join tree — the exchange-free plan is asserted verbatim in "
         "tests/test_round5.py::test_bucketed_join_is_exchange_free_and_exact."
+        " Hot-cell skew caveat (round-6 witness, tests/test_round6.py::"
+        "test_bucketed_join_hot_cell_skew_witness): a 50%-hot fixture stays "
+        "exact and exchange-free, but every hot-key row sits in ONE bucket "
+        "and a bucketed scan gives AQE no shuffle to skew-split (asserted: "
+        "no AQEShuffleRead). Crossover rule: once one cell carries more "
+        "than ~1/n_buckets of the table, drop the bucketed path for that "
+        "workload and use the shuffle join with AQE skew-join or the salted "
+        "two-phase pattern (skewed_density) — both split the hot key, which "
+        "bucketing structurally cannot. Key-granularity rule (sf10, "
+        "BASELINE.md): the join-key resolution must grow with the corpus so "
+        "rows-per-cell stays bounded — a fixed-res key makes ANY equi-join "
+        "quadratic at scale."
+    ),
+    "polyfill_multipolygon": (
+        "Multi-part layers (round 6): wkt_polygon_parts parses POLYGON/"
+        "MULTIPOLYGON/GEOMETRYCOLLECTION JVM-side (two-stage bounded-depth "
+        "regex, whole-stage codegen), posexplode feeds one part per task "
+        "into the same mapInPandas fill, duplicates dropped per layer id. "
+        "The explode shuffle is on (id, part_idx), so thousand-part "
+        "multipolygons spread instead of convoying."
+    ),
+    "image_png_stats": (
+        "Container-codec path value-gated end-to-end: rgb8 payloads "
+        "transcode to real PNG streams (Arrow-batched stdlib codec, "
+        "kernels/png.py) and decode back inside image_moments; DuckDB's "
+        "closed-form pixel evaluation gates every decoded byte. Same "
+        "map-only shape as image_stats — codec work rides the existing "
+        "Arrow batches, no extra shuffle."
+    ),
+    "cover_export_wkt": (
+        "Cover -> MULTIPOLYGON export: per-cell boundary rings rebuilt "
+        "from the vertex snapshot, two-level ordered aggregation "
+        "(ring-in-cell by idx, parts-in-layer by cell), fixed-point "
+        "Catalyst string assembly; DuckDB reproduces the same string with "
+        "nested ordered string_agg and the md5 is compared. Output size is "
+        "O(cover), never O(points)."
     ),
 }
 
