@@ -124,6 +124,32 @@ def rings_to_multipolygon_wkt_fixed(rings: Column, scale: int = 7) -> Column:
     )
 
 
+def rings_to_multipolygon_geojson(rings: Column, precision: int = 7) -> Column:
+    """GeoJSON `MultiPolygon` geometry string from an
+    `array<array<array<double>>>` of closed lonlat rings — one single-ring
+    polygon part per ring, mirroring `rings_to_multipolygon_wkt`. Rings
+    under 4 points are dropped; none left yields empty coordinates
+    (`{"type":"MultiPolygon","coordinates":[]}`, the GeoJSON empty form)."""
+    fmt = f"[%.{precision}f,%.{precision}f]"
+    kept = F.filter(rings, lambda ring: F.size(ring) >= 4)
+    parts = F.transform(
+        kept,
+        lambda ring: F.concat(
+            F.lit("[["),
+            F.array_join(
+                F.transform(ring, lambda p: F.format_string(fmt, p[0], p[1])),
+                ",",
+            ),
+            F.lit("]]"),
+        ),
+    )
+    return F.concat(
+        F.lit('{"type":"MultiPolygon","coordinates":['),
+        F.array_join(parts, ","),
+        F.lit("]}"),
+    )
+
+
 def wkt_polygon_ring(wkt: Column) -> Column:
     """Outer ring of a `POLYGON ((...))` WKT string as
     `array<array<double>>` — the inverse of `ring_to_wkt`. Derived from the

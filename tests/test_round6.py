@@ -983,3 +983,36 @@ def test_live_append_races_parallel_optimize(spark):
     got = spark.read.parquet(*[f'{d}/{e["file"]}' for e in mpin["files"]]).count()
     assert got == base_rows
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multipolygon_geojson_export_roundtrips(spark):
+    """rings_to_multipolygon_geojson mirrors the WKT builder and round-trips
+    through geojson_polygon_parts."""
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.functions.udfs import a5_cell_to_boundary
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+
+    cells = [int(c) for c in to_signed(
+        lonlat_to_cell(np.array([-0.1, 2.35]), np.array([51.5, 48.86]), 6)
+    )]
+    df = spark.createDataFrame([(c,) for c in cells], ["cell"]).coalesce(1)
+    gj = df.agg(
+        gis.rings_to_multipolygon_geojson(
+            F.array_sort(F.collect_list(a5_cell_to_boundary(F.col("cell")))),
+            precision=9,
+        ).alias("gj")
+    ).collect()[0]["gj"]
+    g = json.loads(gj)
+    assert g["type"] == "MultiPolygon" and len(g["coordinates"]) == len(set(cells))
+    parts = spark.createDataFrame([(gj,)], ["gj"]).select(
+        gis.geojson_polygon_parts(F.col("gj")).alias("p")
+    ).collect()[0]["p"]
+    assert len(parts) == len(set(cells))
+    # empty form
+    empty = spark.createDataFrame(
+        [([],)], "rings: array<array<array<double>>>"
+    ).select(gis.rings_to_multipolygon_geojson(F.col("rings")).alias("g")).collect()[0]
+    assert json.loads(empty["g"]) == {"type": "MultiPolygon", "coordinates": []}
