@@ -2751,10 +2751,21 @@ def q_bucketed_join(spark, sf_dir):
     (neither feed broadcastable); the bucketed layout is what removes the
     2× full-table shuffle. The DuckDB oracle reads the same bucketed
     parquet files and reproduces the join relationally."""
-    from a5spark.operators.bucketing import bucketed_join, write_bucketed_table
+    from a5spark.operators.bucketing import (
+        bucketed_join,
+        pick_join_resolution,
+        write_bucketed_table,
+    )
     from a5spark.operators.spatial import assign_cells
 
-    img = assign_cells(images_from_sf_dir(spark, sf_dir), 3)
+    # density-adaptive join-key resolution (round 6): a fixed res makes the
+    # per-cell pair fan-out quadratic in corpus size (BASELINE.md sf10);
+    # res 3 at the oracle scale (sf0.01), growing with the table. The
+    # oracle re-derives from the bucketed snapshot files, so the key
+    # choice can never diverge Spark from DuckDB.
+    base = images_from_sf_dir(spark, sf_dir)
+    res = pick_join_resolution(base.count())
+    img = assign_cells(base, res)
     feed_a = img.filter(F.col("k") % 2 == 0).select(
         "cell", F.col("image_id").alias("a_id"), F.col("w").alias("a_w")
     )

@@ -35,6 +35,34 @@ Spark specifics this module encodes:
 
 from pyspark.sql import DataFrame, SparkSession
 
+def pick_join_resolution(
+    n_rows: int,
+    target_rows_per_cell: int = 64,
+    min_res: int = 3,
+    max_res: int = 12,
+) -> int:
+    """Density-adaptive JOIN-KEY resolution: the smallest res in
+    [min_res, max_res] whose expected rows-per-cell (uniform estimate
+    n / num_cells(res)) stays under `target_rows_per_cell`.
+
+    Why (measured, sf10, BASELINE.md round 6): equi-join output per key is
+    quadratic in rows-per-key, so a FIXED key resolution turns any
+    cell-keyed join — bucketed or shuffled — quadratic as the corpus
+    grows (res 3 at 15M images ⇒ ~28 billion joined pairs; the run never
+    finished). Growing the key resolution with the corpus keeps per-key
+    fan-out bounded: the same rule as `knn.pick_index_resolution`, on the
+    join side. Real tables cluster spatially, so treat the uniform
+    estimate as a floor and the AQE skew-join / salted path as the
+    backstop for hot cells (see the skew witness in tests/test_round6.py).
+    """
+    from a5spark.kernels.cell_info import get_num_cells
+
+    for res in range(min_res, max_res + 1):
+        if n_rows / float(get_num_cells(res)) <= target_rows_per_cell:
+            return res
+    return max_res
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -1016,3 +1016,16 @@ def test_multipolygon_geojson_export_roundtrips(spark):
         [([],)], "rings: array<array<array<double>>>"
     ).select(gis.rings_to_multipolygon_geojson(F.col("rings")).alias("g")).collect()[0]
     assert json.loads(empty["g"]) == {"type": "MultiPolygon", "coordinates": []}
+
+
+def test_pick_join_resolution_bounds_fanout():
+    from a5spark.operators.bucketing import pick_join_resolution
+
+    assert pick_join_resolution(15_000) == 3       # oracle scale: unchanged
+    assert pick_join_resolution(150_000) == 4
+    assert pick_join_resolution(15_000_000) == 7  # matches the measured sf10 fix
+    last = 3
+    for n in (10**3, 10**5, 10**7, 10**9, 10**12):
+        r = pick_join_resolution(n)
+        assert r >= last and 3 <= r <= 12
+        last = r
