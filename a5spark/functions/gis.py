@@ -296,7 +296,13 @@ def wkt_polygon_parts(wkt: Column) -> Column:
     empty array. Two-stage pure-Catalyst parse: extract polygonal
     geometries, then extract each geometry's `((...))` ring lists —
     bounded paren depth makes both regexes exact (no balanced-nesting
-    heuristics). Parts with no valid (>=3 point) ring are dropped."""
+    heuristics). Parts with no valid (>=3 point) ring are dropped.
+
+    A part — one outer ring plus holes — is exactly the unit the fill
+    kernel consumes (reference ring handling:
+    /root/reference/a5/regions/polygon.py:224-263; the reference has no
+    WKT surface, so the multi-part semantics here are defined as the
+    UNION of per-part fills, parity-tested on its country fixtures)."""
     geoms = F.regexp_extract_all(wkt, F.lit(_WKT_POLYGONAL_GEOM), 0)
     parts = F.flatten(
         F.transform(

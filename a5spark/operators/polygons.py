@@ -378,3 +378,35 @@ def cover_to_multipolygon_wkt(
         F.size("parts").cast("long").alias("n_parts"),
         build(F.transform("parts", lambda s: s["ring"])).alias("wkt"),
     )
+
+
+def cover_to_multipolygon_geojson(
+    cover: DataFrame,
+    id_col: str = "polygon_id",
+    cell_col: str = "cell",
+    precision: int = 7,
+) -> DataFrame:
+    """GeoJSON twin of `cover_to_multipolygon_wkt`: one MultiPolygon
+    geometry string per cover id, one part per cover cell in cell order
+    (functions.gis.rings_to_multipolygon_geojson). Same O(cover-per-id)
+    output bound."""
+    from a5spark.functions.gis import rings_to_multipolygon_geojson
+    from a5spark.functions.udfs import a5_cell_to_boundary
+
+    ringed = cover.select(
+        F.col(id_col),
+        F.struct(
+            F.col(cell_col).alias("cell"),
+            a5_cell_to_boundary(F.col(cell_col)).alias("ring"),
+        ).alias("part"),
+    )
+    grouped = ringed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("part")).alias("parts")
+    )
+    return grouped.select(
+        F.col(id_col),
+        F.size("parts").cast("long").alias("n_parts"),
+        rings_to_multipolygon_geojson(
+            F.transform("parts", lambda s: s["ring"]), precision
+        ).alias("geojson"),
+    )

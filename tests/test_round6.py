@@ -1029,3 +1029,25 @@ def test_pick_join_resolution_bounds_fanout():
         r = pick_join_resolution(n)
         assert r >= last and 3 <= r <= 12
         last = r
+
+
+def test_cover_export_geojson_operator(spark):
+    from pyspark.sql import functions as F
+
+    from a5spark.functions import gis
+    from a5spark.kernels.cell import lonlat_to_cell
+    from a5spark.kernels.serialization import to_signed
+    from a5spark.operators.polygons import cover_to_multipolygon_geojson
+
+    cells = [int(c) for c in to_signed(
+        lonlat_to_cell(np.array([-0.1, 2.35, 13.4]), np.array([51.5, 48.86, 52.5]), 6)
+    )]
+    cover = spark.createDataFrame([("eu", c) for c in cells], ["polygon_id", "cell"])
+    row = cover_to_multipolygon_geojson(cover).collect()[0]
+    g = json.loads(row["geojson"])
+    assert g["type"] == "MultiPolygon"
+    assert row["n_parts"] == len(set(cells)) == len(g["coordinates"])
+    parts = spark.createDataFrame([(row["geojson"],)], ["gj"]).select(
+        gis.geojson_polygon_parts(F.col("gj")).alias("p")
+    ).collect()[0]["p"]
+    assert len(parts) == len(set(cells))
