@@ -2762,9 +2762,14 @@ def q_bucketed_join(spark, sf_dir):
     # per-cell pair fan-out quadratic in corpus size (BASELINE.md sf10);
     # res 3 at the oracle scale (sf0.01), growing with the table. The
     # oracle re-derives from the bucketed snapshot files, so the key
-    # choice can never diverge Spark from DuckDB.
+    # choice can never diverge Spark from DuckDB. The count comes from
+    # parquet footer metadata (manifest-style, no scan job); the count()
+    # fallback only fires for non-local sf dirs.
+    from a5spark.sources.images import images_count_hint
+
     base = images_from_sf_dir(spark, sf_dir)
-    res = pick_join_resolution(base.count())
+    n_hint = images_count_hint(sf_dir)
+    res = pick_join_resolution(n_hint if n_hint is not None else base.count())
     img = assign_cells(base, res)
     feed_a = img.filter(F.col("k") % 2 == 0).select(
         "cell", F.col("image_id").alias("a_id"), F.col("w").alias("a_w")
@@ -2926,7 +2931,13 @@ def q_cover_export_wkt(spark, sf_dir):
         .agg(F.array_sort(F.collect_list("part")).alias("parts"))
         .select(
             "polygon_id",
-            F.size("parts").cast("long").alias("n_parts"),
+            # counted AFTER the >=4-point ring filter the WKT builder
+            # applies — the DuckDB oracle filters n_pts >= 4 out of both
+            # the count and the string_agg, so the two sides must drop
+            # degenerate rings symmetrically
+            F.size(F.filter("parts", lambda s: F.size(s["ring"]) >= 4))
+            .cast("long")
+            .alias("n_parts"),
             rings_to_multipolygon_wkt_fixed(
                 F.transform("parts", lambda s: s["ring"])
             ).alias("wkt"),

@@ -249,12 +249,17 @@ _WKT_RING_LIST = r"\(\s*\([^()]*\)(?:\s*,\s*\([^()]*\))*\s*\)"
 # A polygonal WKT geometry anywhere in a string. MULTIPOLYGON first: it
 # contains the substring POLYGON, and alternation must consume the whole
 # multi-geometry before the bare-POLYGON branch could half-match inside it.
+# Both keywords are \b-anchored and the bare branch carries a (?<!MULTI)
+# guard, so (a) a malformed MULTIPOLYGON whose body fails the first branch
+# yields NO parts instead of half-parsing its embedded 'POLYGON' substring
+# as a bare polygon, and (b) tokens like 'XPOLYGON ((...))' never parse as
+# polygonal (the scanner starts only at a real keyword boundary).
 _WKT_POLYGONAL_GEOM = (
-    r"(?:MULTIPOLYGON\s*(?:ZM|Z|M)?\s*\(\s*"
+    r"(?:\bMULTIPOLYGON\s*(?:ZM|Z|M)?\s*\(\s*"
     + _WKT_RING_LIST
     + r"(?:\s*,\s*"
     + _WKT_RING_LIST
-    + r")*\s*\))|(?:POLYGON\s*(?:ZM|Z|M)?\s*"
+    + r")*\s*\))|(?:(?<!MULTI)\bPOLYGON\s*(?:ZM|Z|M)?\s*"
     + _WKT_RING_LIST
     + r")"
 )

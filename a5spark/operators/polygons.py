@@ -373,9 +373,15 @@ def cover_to_multipolygon_wkt(
     grouped = ringed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("part")).alias("parts")
     )
+    # count parts AFTER the same >=4-point ring filter the WKT builder
+    # applies, so n_parts always equals the part count in the string (A5
+    # boundaries are >=6-point closed rings, but a degenerate input ring
+    # must not diverge the count from the geometry)
     return grouped.select(
         F.col(id_col),
-        F.size("parts").cast("long").alias("n_parts"),
+        F.size(F.filter("parts", lambda s: F.size(s["ring"]) >= 4))
+        .cast("long")
+        .alias("n_parts"),
         build(F.transform("parts", lambda s: s["ring"])).alias("wkt"),
     )
 
@@ -403,9 +409,12 @@ def cover_to_multipolygon_geojson(
     grouped = ringed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("part")).alias("parts")
     )
+    # same >=4-point filter as the GeoJSON builder — see the WKT twin above
     return grouped.select(
         F.col(id_col),
-        F.size("parts").cast("long").alias("n_parts"),
+        F.size(F.filter("parts", lambda s: F.size(s["ring"]) >= 4))
+        .cast("long")
+        .alias("n_parts"),
         rings_to_multipolygon_geojson(
             F.transform("parts", lambda s: s["ring"]), precision
         ).alias("geojson"),
