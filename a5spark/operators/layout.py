@@ -221,6 +221,17 @@ def _manifest_entries(spark: SparkSession, path: str, key_col: str):
 
 VERSIONS_DIR = "_versions"
 
+# Torn-reservation repair: a contended version file showing no write
+# progress for this long is treated as a crashed writer's leftover and
+# deleted. Driver GC pauses and slow object-store writes routinely reach
+# seconds, so the window is deliberately wide; a LIVE writer whose
+# reservation is repaired out from under it is still safe — the winner
+# verifies its own commit is readable after close and retries if not
+# (see _commit_manifest), so the failure mode is a retry, never a silent
+# lost update. Tests shorten this via monkeypatch to keep the suite fast.
+_TORN_GRACE_SEC = 10.0
+_TORN_POLL_SEC = 0.5
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed a manifest version this commit was based on.
@@ -279,9 +290,31 @@ def _commit_manifest(
         version = manifest.get("version", -1) + 1
         committed = {**manifest, "version": version}
         text = json.dumps(committed)
-        if _create_exclusive(
-            spark, f"{path}/{VERSIONS_DIR}/v{version:06d}.json", text
-        ):
+        vfile = f"{path}/{VERSIONS_DIR}/v{version:06d}.json"
+        if _create_exclusive(spark, vfile, text):
+            # Verify the commit is durably VISIBLE before reporting success:
+            # if this writer stalled past the torn-reservation grace window
+            # mid-write, a repairer may have deleted the reservation (and a
+            # third writer retaken the version) while we finished writing to
+            # a removed inode — create() returned True but the commit is
+            # invisible to every reader. Re-reading our own entry converts
+            # that silent lost update into an explicit lost race (retry).
+            try:
+                readback = _read_text(spark, vfile)
+            except Exception:
+                readback = None
+            if readback != text:
+                current = read_manifest(spark, path)
+                if retry_update is None:
+                    raise ConcurrentCommitError(
+                        f"manifest version {version} at {path} was repaired "
+                        "and retaken by a concurrent writer mid-commit; this "
+                        "operation cannot merge its update"
+                    )
+                manifest = retry_update(current)
+                if manifest is None:
+                    return current
+                continue
             fs, _, jvm = _fs(spark, path)
             tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/.{MANIFEST_NAME}.tmp")
             cur = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST_NAME}")
@@ -296,26 +329,40 @@ def _commit_manifest(
             # readable: either a concurrent writer is BETWEEN create and
             # close (ms-scale — wait it out), or a writer CRASHED there and
             # left a torn reservation that would block every future commit.
-            # After the grace window, repair by deleting the torn file and
-            # retaking the reservation. Assumption (documented): no live
-            # writer stalls >~2 s inside a sub-MB metadata write.
+            # Progress-aware grace: the countdown RESETS whenever the
+            # reservation file's (size, mtime) changes, so a slow live
+            # writer is never repaired mid-write; only a reservation with
+            # no progress for the full _TORN_GRACE_SEC window is deleted
+            # and retaken. A live writer stalled past even that (GC pause)
+            # is still safe — its own commit verification above detects
+            # the repair and retries.
             import time as _time
 
+            fs, _, jvm = _fs(spark, path)
+            vpath = jvm.org.apache.hadoop.fs.Path(vfile)
+
+            def _sig():
+                try:
+                    st = fs.getFileStatus(vpath)
+                    return (st.getLen(), st.getModificationTime())
+                except Exception:
+                    return None
+
             healed = False
-            for _ in range(4):
-                _time.sleep(0.5)
+            last_sig = _sig()
+            deadline = _time.monotonic() + _TORN_GRACE_SEC
+            while _time.monotonic() < deadline:
+                _time.sleep(_TORN_POLL_SEC)
                 current = read_manifest(spark, path)
                 if current.get("version", -1) >= version:
                     healed = True
                     break
+                sig = _sig()
+                if sig != last_sig:
+                    last_sig = sig
+                    deadline = _time.monotonic() + _TORN_GRACE_SEC
             if not healed:
-                fs, _, jvm = _fs(spark, path)
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{path}/{VERSIONS_DIR}/v{version:06d}.json"
-                    ),
-                    False,
-                )
+                fs.delete(vpath, False)
                 continue  # retake the same version
         if retry_update is None:
             raise ConcurrentCommitError(
@@ -576,10 +623,27 @@ def optimize_cell_layout(
         return stats
 
     fs, _, jvm = _fs(spark, path)
-    tmp_root = f"{path}/_optimize_tmp"
     base_version = manifest.get("version", -1)
+    # per-RUN nonce: two optimize runs racing from the same base version
+    # would otherwise generate identical opt-v{base+1}-{lo} names for bins
+    # sharing a min lo — the loser would clobber the winner's already-
+    # committed data file before its own commit aborts (manifest entries
+    # pointing at wrong contents). With the nonce, distinct runs can never
+    # target the same file name; the loser's output is left as an orphan
+    # for vacuum when its commit aborts.
+    import uuid as _uuid
 
-    def _run_bin(i: int, b: list[dict]) -> None:
+    run_nonce = _uuid.uuid4().hex[:10]
+    tmp_root = f"{path}/_optimize_tmp-{run_nonce}"
+
+    def _bin_name(b: list[dict]) -> str:
+        return (
+            f"opt-v{base_version + 1:06d}-"
+            f"{(min(e['lo'] for e in b) + (1 << 63)) & _M64:016x}-"
+            f"{run_nonce}.parquet"
+        )
+
+    def _run_bin_once(i: int, b: list[dict]) -> None:
         tmp_dir = f"{tmp_root}/bin-{i}"
         df = spark.read.parquet(*[f"{path}/{e['file']}" for e in b])
         writer = df.coalesce(1).sortWithinPartitions(key_col).write.mode("overwrite")
@@ -592,22 +656,29 @@ def optimize_cell_layout(
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
         assert len(part) == 1, f"expected one part file in {tmp_dir}"
-        # unique per RUN: base version + the bin's lowest key. A key-only
-        # name collides when a re-optimize re-bins an earlier opt- file
-        # with the same lo — the old code would then overwrite that
-        # still-referenced file in place (corrupting retained snapshots)
-        # and the delete loop below would remove the freshly committed
-        # file (data loss). Version-prefixed names are never re-bin
-        # targets of themselves and never collide with committed files
-        # (versions only grow, even across crashes); within one run the
-        # lo-hash suffix is unique because bins are key-disjoint.
-        name = (
-            f"opt-v{base_version + 1:06d}-"
-            f"{(min(e['lo'] for e in b) + (1 << 63)) & _M64:016x}.parquet"
-        )
+        # unique per RUN: base version + the bin's lowest key + the run
+        # nonce. The version prefix keeps names debuggable and never equal
+        # to a re-bin target of an earlier optimize; the lo-hash is unique
+        # within one run (bins are key-disjoint); the nonce makes names
+        # from CONCURRENT runs off the same base version distinct, so no
+        # run can ever clobber another's committed file. A pre-existing
+        # dest can therefore only be (a) committed by an earlier ATTEMPT
+        # of this same bin (crash between rename and commit-visibility
+        # here — referenced: refuse to touch, the retry wrapper handles
+        # it) or (b) this run's own uncommitted leftover (nonce proves
+        # ownership; unreferenced proves uncommitted) — safe to replace.
+        name = _bin_name(b)
         assert name not in {e["file"] for e in b}
         dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-        if fs.exists(dest):  # uncommitted leftover of a crashed run only
+        if fs.exists(dest):
+            referenced = name in {
+                e["file"] for e in read_manifest(spark, path)["files"]
+            }
+            if referenced:
+                raise ConcurrentCommitError(
+                    f"optimize dest {name} at {path} is already referenced "
+                    "by the current manifest; refusing to overwrite"
+                )
             fs.delete(dest, False)
         fs.rename(part[0], dest)
         # commit point: swap the bin's entries for the new file's entry
@@ -655,16 +726,65 @@ def optimize_cell_layout(
                     jvm.org.apache.hadoop.fs.Path(f"{path}/{e['file']}"), False
                 )
 
+    def _run_bin(i: int, b: list[dict]) -> None:
+        """One bin with one idempotent retry. Every step before the CAS
+        commit is re-runnable (the tmp write is mode=overwrite; a nonce-
+        named dest found on disk is provably this run's own uncommitted
+        leftover), and a failure AFTER the commit only needs the old-file
+        deletes finished — so a transient job failure degrades to a
+        retried bin, not a failed maintenance run (what a production
+        rewrite scheduler does). A second failure raises with the bin
+        context and the full Java stack, so the failure mode is always
+        diagnosable (the round-6 flake surfaced as an uncaptured
+        Py4JJavaError out of concurrent bin jobs)."""
+        try:
+            return _run_bin_once(i, b)
+        except ConcurrentCommitError:
+            raise
+        except Exception as first:
+            cur = read_manifest(spark, path)
+            names = {e["file"] for e in cur["files"]}
+            bin_names = {e["file"] for e in b}
+            if _bin_name(b) in names and not (bin_names & names):
+                # the commit landed before the failure; only the
+                # post-commit deletes remain (idempotent)
+                if not retain_old:
+                    for e in b:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{path}/{e['file']}"
+                            ),
+                            False,
+                        )
+                return
+            try:
+                return _run_bin_once(i, b)
+            except ConcurrentCommitError:
+                raise
+            except Exception as second:
+                java = getattr(second, "java_exception", None)
+                raise RuntimeError(
+                    f"optimize bin {i} ({sorted(bin_names)}) failed twice; "
+                    f"first failure: {first!r}; java: "
+                    f"{java.toString() if java is not None else None}"
+                ) from second
+
     if parallel_bins and len(bins) > 1:
-        # bins are key-disjoint, so they may run as concurrent Spark jobs
-        # (thread-safe job submission); each bin's CAS commit merges onto
-        # whatever siblings committed first — the maintenance-scheduler
-        # parallelism production table formats get, enabled by the round-6
-        # optimistic commit protocol
+        # bins are key-disjoint, so they may run as concurrent Spark jobs;
+        # each bin's CAS commit merges onto whatever siblings committed
+        # first — the maintenance-scheduler parallelism production table
+        # formats get, enabled by the round-6 optimistic commit protocol.
+        # inheritable_thread_target is the PySpark-documented wrapper for
+        # submitting Spark jobs from pool threads under pinned-thread mode
+        # (py4j ClientServer): it propagates the caller's JVM-local
+        # properties into each worker thread's dedicated connection.
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        run = inheritable_thread_target(spark)(_run_bin)
         with ThreadPoolExecutor(max_workers=int(parallel_bins)) as pool:
-            futures = [pool.submit(_run_bin, i, b) for i, b in enumerate(bins)]
+            futures = [pool.submit(run, i, b) for i, b in enumerate(bins)]
             for f in futures:
                 f.result()
     else:

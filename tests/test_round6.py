@@ -734,7 +734,14 @@ def test_torn_version_log_is_skipped_and_repaired(spark):
     # reads skip the torn entry
     assert layout.read_manifest(spark, d)["version"] == m0["version"]
     # a commit repairs the torn reservation and lands AT that version
-    m1 = layout._commit_manifest(spark, d, {**m0, "marker": "after_torn"})
+    # (short grace window so the test doesn't sit out the production
+    # 10 s no-progress timeout)
+    prev_grace = layout._TORN_GRACE_SEC
+    layout._TORN_GRACE_SEC = 1.5
+    try:
+        m1 = layout._commit_manifest(spark, d, {**m0, "marker": "after_torn"})
+    finally:
+        layout._TORN_GRACE_SEC = prev_grace
     assert m1["version"] == v_torn
     assert layout.read_manifest(spark, d).get("marker") == "after_torn"
     # vacuum repairs a torn entry below the committed head

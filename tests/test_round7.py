@@ -142,3 +142,248 @@ def test_images_count_hint_matches_scan(spark):
     assert hint is not None
     assert hint == images_from_sf_dir(spark, SF_DIR).count()
     assert images_count_hint("/nonexistent/sf_dir") is None
+
+
+# --- layout commit-protocol hardening (ADVICE layout.py:306/610) -----------
+
+
+def _mini_layout(spark, d, n_files=2):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _spark_cell9
+    from a5spark.operators import layout
+
+    shutil.rmtree(d, ignore_errors=True)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    layout.write_cell_layout(df, d, cell="cell", n_files=n_files)
+    return df
+
+
+def test_commit_winner_verifies_own_entry(spark, monkeypatch):
+    """A writer whose reservation was repaired and RETAKEN mid-write (its
+    create 'succeeded' against a deleted inode) must not report success:
+    the post-close readback detects the rival's content and the commit
+    retries onto the rival's manifest — the silent-lost-update window the
+    round-6 grace repair left open."""
+    import json
+
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_winner_verify"
+    _mini_layout(spark, d)
+    m0 = layout.read_manifest(spark, d)
+    v1 = m0["version"] + 1
+    rival = {**m0, "version": v1, "rival": True}
+    orig = layout._create_exclusive
+    calls = {"n": 0}
+
+    def fake_create(spark_, path_str, text):
+        calls["n"] += 1
+        if calls["n"] == 1 and path_str.endswith(f"v{v1:06d}.json"):
+            # simulate the race: our write landed on a deleted inode while
+            # a repairer's rival commit occupies the reservation path
+            layout._write_text(spark_, path_str, json.dumps(rival))
+            return True
+        return orig(spark_, path_str, text)
+
+    monkeypatch.setattr(layout, "_create_exclusive", fake_create)
+    committed = layout._commit_manifest(
+        spark, d, {**m0, "mine": True},
+        retry_update=lambda cur: {**cur, "mine": True},
+    )
+    # our commit must land AFTER the rival's, with both changes visible
+    assert committed["version"] == v1 + 1
+    head = layout.read_manifest(spark, d)
+    assert head.get("mine") is True and head.get("rival") is True
+    assert layout.read_manifest(spark, d, version=v1).get("rival") is True
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_commit_without_retry_raises_on_retaken_reservation(spark, monkeypatch):
+    """Same race, single-writer operation (no retry_update): the commit
+    must raise instead of silently reporting an invisible commit."""
+    import json
+
+    import pytest as _pytest
+
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_winner_verify_raise"
+    _mini_layout(spark, d)
+    m0 = layout.read_manifest(spark, d)
+    v1 = m0["version"] + 1
+    orig = layout._create_exclusive
+
+    def fake_create(spark_, path_str, text):
+        if path_str.endswith(f"v{v1:06d}.json"):
+            layout._write_text(
+                spark_, path_str, json.dumps({**m0, "version": v1, "rival": True})
+            )
+            return True
+        return orig(spark_, path_str, text)
+
+    monkeypatch.setattr(layout, "_create_exclusive", fake_create)
+    with _pytest.raises(layout.ConcurrentCommitError):
+        layout._commit_manifest(spark, d, {**m0, "mine": True})
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_torn_grace_resets_on_write_progress(spark):
+    """The repair countdown must RESET while the contended reservation
+    shows write progress (growing size/mtime) — a slow live writer is
+    never repaired out from under; the torn file is only deleted once
+    progress stops for the full window."""
+    import json
+    import shutil
+    import threading
+    import time
+
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_grace_progress"
+    _mini_layout(spark, d)
+    m0 = layout.read_manifest(spark, d)
+    v1 = m0["version"] + 1
+    vfile = f"{d}/{layout.VERSIONS_DIR}/v{v1:06d}.json"
+    # a "slow writer": appends junk to the reservation every 0.4 s for 2 s,
+    # then completes its commit content
+    slow_done = threading.Event()
+
+    def slow_writer():
+        body = '{"version": '
+        for _ in range(5):
+            layout._write_text(spark, vfile, body)
+            body += " "
+            time.sleep(0.4)
+        layout._write_text(
+            spark, vfile, json.dumps({**m0, "version": v1, "slow": True})
+        )
+        slow_done.set()
+
+    layout._write_text(spark, vfile, '{"version": ')
+    prev = layout._TORN_GRACE_SEC
+    layout._TORN_GRACE_SEC = 1.0  # shorter than the slow writer's 2 s total
+    try:
+        t = threading.Thread(target=slow_writer)
+        t.start()
+        committed = layout._commit_manifest(
+            spark, d, {**m0, "mine": True},
+            retry_update=lambda cur: {**cur, "mine": True},
+        )
+        t.join(30)
+    finally:
+        layout._TORN_GRACE_SEC = prev
+    assert slow_done.is_set()
+    # the slow writer's commit survived (progress kept resetting the
+    # window) and ours landed after it
+    assert layout.read_manifest(spark, d, version=v1).get("slow") is True
+    assert committed["version"] == v1 + 1
+    assert layout.read_manifest(spark, d).get("mine") is True
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_two_optimize_runs_race_without_corruption(spark):
+    """Two whole OPTIMIZE runs racing from the same base version (the
+    ADVICE layout.py:610 scenario): per-run nonced file names mean the
+    loser can never clobber the winner's committed data. End state: all
+    rows present, every referenced file exists with exactly its manifest
+    row count, pruned scan parity."""
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.functions import native
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_double_optimize"
+    df = _mini_layout(spark, d, n_files=12)
+    man0 = layout.read_manifest(spark, d)
+    total_rows = sum(e["rows"] for e in man0["files"])
+    sizes = [e["bytes"] for e in man0["files"]]
+    results, errs = [], []
+
+    def run_opt():
+        try:
+            results.append(
+                layout.optimize_cell_layout(
+                    spark, d,
+                    target_file_bytes=sum(sizes) // 3,
+                    min_file_bytes=max(sizes) + 1,
+                    parallel_bins=2,
+                    retain_old=True,
+                )
+            )
+        except layout.ConcurrentCommitError as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=run_opt) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert all(not t.is_alive() for t in ts)
+    # every run either completes or aborts with ConcurrentCommitError
+    # (racing bins may mutually abort both runs) — but NEVER corrupts
+    assert len(results) + len(errs) == 2, [str(e) for e in errs]
+    man = layout.read_manifest(spark, d)
+    assert sum(e["rows"] for e in man["files"]) == total_rows
+    # every referenced file exists and carries exactly its manifest rows
+    for e in man["files"]:
+        got = spark.read.parquet(f"{d}/{e['file']}").count()
+        assert got == e["rows"], (e["file"], got, e["rows"])
+    # pruned scan parity against the raw data
+    scanned, _ = layout.scan_cell_layout(spark, d, _LAYOUT_COVER)
+    keyed = df.withColumn("cell_key", native.shifted_key(F.col("cell")))
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    pred = None
+    for lo, hi in ranges:
+        c = F.col("cell_key").between(lo, hi)
+        pred = c if pred is None else (pred | c)
+    want = sorted(tuple(r) for r in keyed.filter(pred).collect())
+    assert sorted(tuple(r) for r in scanned.collect()) == want
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_optimize_bin_retries_transient_failure(spark, monkeypatch):
+    """A transient failure inside one bin (the round-6 flake shape) is
+    retried idempotently instead of failing the whole maintenance run."""
+    import shutil
+
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_bin_retry"
+    _mini_layout(spark, d, n_files=12)
+    man0 = layout.read_manifest(spark, d)
+    total_rows = sum(e["rows"] for e in man0["files"])
+    sizes = [e["bytes"] for e in man0["files"]]
+    orig = layout._entry_for_file
+    state = {"failed": False}
+
+    def flaky_entry(*args, **kwargs):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected transient bin failure")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(layout, "_entry_for_file", flaky_entry)
+    stats = layout.optimize_cell_layout(
+        spark, d,
+        target_file_bytes=sum(sizes) // 3,
+        min_file_bytes=max(sizes) + 1,
+        parallel_bins=2,
+    )
+    assert state["failed"] is True
+    assert stats["bins"] >= 2
+    man = layout.read_manifest(spark, d)
+    assert sum(e["rows"] for e in man["files"]) == total_rows
+    assert stats["files_after"] < stats["files_before"]
+    shutil.rmtree(d, ignore_errors=True)
