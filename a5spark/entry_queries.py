@@ -2263,6 +2263,43 @@ def oracle_image_png_stats():
     return oracle_image_stats().replace("% 75 = 0", "% 150 = 0")
 
 
+def q_image_jpeg_psnr(spark, sf_dir):
+    """Lossy-codec value gate (round 7): rgb8 payloads transcode through
+    the dependency-free baseline JPEG codec (kernels/jpeg.py — SOF0,
+    per-image optimized Huffman tables, quality 98 4:4:4) and decode back
+    through the same decode_image kernel; the oracle asserts the
+    input_hint's lossy invariant — decoded-pixel PSNR >= 40 dB — per
+    image, plus the closed-form source byte count. JPEG being lossy, the
+    gate is the PSNR bound, not bit-identity (PNG covers the lossless
+    bit-exact case)."""
+    from a5spark.operators.multimodal import transcode_psnr
+    from a5spark.sources.images import _gen_image_bytes
+
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
+        F.col("k") % 150 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    t = transcode_psnr(img, fmt="jpeg", threshold=40.0)
+    return t.select(
+        "image_id",
+        "n_src_bytes",
+        F.col("psnr_ok").alias("psnr_ge_40"),
+    ).orderBy("image_id")
+
+
+def oracle_image_jpeg_psnr():
+    return """
+    SELECT printf('img_%012d', o_orderkey) AS image_id,
+           CAST((32 + (o_orderkey % 8) * 8)
+                * (32 + (o_orderkey % 5) * 8) * 3 AS BIGINT) AS n_src_bytes,
+           TRUE AS psnr_ge_40
+    FROM orders WHERE o_orderkey % 150 = 0
+    ORDER BY image_id
+    """
+
+
 _TILE_SNAPSHOT = "/tmp/a5spark_oracle/tile_assigned_r8"
 
 
@@ -3014,6 +3051,7 @@ QUERIES = {
     "s2_crossindex": q_s2_crossindex,
     "image_stats": q_image_stats,
     "image_png_stats": q_image_png_stats,
+    "image_jpeg_psnr": q_image_jpeg_psnr,
     "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
     "video_frames": q_video_frames,
@@ -3080,6 +3118,7 @@ ORACLES = {
     "audio_features": oracle_audio_features(),
     "image_stats": oracle_image_stats(),
     "image_png_stats": oracle_image_png_stats(),
+    "image_jpeg_psnr": oracle_image_jpeg_psnr(),
     "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),
     "line_trace": oracle_line_trace(),

@@ -1,0 +1,706 @@
+"""Dependency-free baseline JPEG codec (stdlib + numpy) — makes the most
+common real-corpus image format REAL in environments without Pillow, the
+same pattern as kernels/png.py did for PNG.
+
+Scope:
+ * decode — baseline DCT (SOF0), 8-bit, 1 or 3 components, any sampling
+   factors with h,v <= 2 (4:4:4 / 4:2:2 / 4:2:0 / grayscale), stream-carried
+   quantization and Huffman tables (arbitrary DHT, not just Annex K),
+   restart intervals (DRI/RSTn). Progressive (SOF2), arithmetic coding, and
+   12-bit precision raise NotImplementedError.
+ * encode — SOF0, 8-bit, YCbCr (JFIF), 4:4:4 or 4:2:0, per-image OPTIMIZED
+   canonical Huffman tables (frequency pass + libjpeg-style 16-bit length
+   limiting with the reserved pseudo-symbol so no real code is all-ones),
+   quality-scaled Annex-K quantization tables. Deterministic: byte-stable
+   output for byte-stable input.
+
+Per the input_hint the per-row invariant for lossy formats is decoded-pixel
+PSNR >= 40 dB vs the source; the oracle query (entry_queries.q_image_jpeg_
+psnr) gates exactly that on an rgb8 -> JPEG -> decode transcode. The
+entropy layer is per-image Python over an int bit-buffer (symbols are
+sequential by spec); DCT/IDCT, color transforms, and (de)quantization are
+vectorized numpy over whole block batches.
+"""
+
+import struct
+
+import numpy as np
+
+# ITU T.81 Annex K base quantization tables (public spec constants)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _zigzag_indices() -> np.ndarray:
+    """(row, col) visit order of the JPEG zigzag as flat indices into an
+    8x8 block (derived, not memorized: anti-diagonals, odd sums ascend
+    rows, even sums descend)."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(7, s) + 1)
+        diag = [(r, s - r) for r in rows]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_indices()          # block-flat index for zigzag pos
+_UNZIGZAG = np.argsort(_ZIGZAG)      # zigzag pos for block-flat index
+
+# orthonormal 8-point DCT-II matrix
+_DCT_C = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    _s = np.sqrt(1.0 / 8.0) if _k == 0 else np.sqrt(2.0 / 8.0)
+    for _n in range(8):
+        _DCT_C[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = int(min(100, max(1, quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> float64 YCbCr (JFIF full-range BT.601)."""
+    p = px.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W % 8 == 0 -> (H//8 * W//8, 8, 8) in raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8, w8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h8 * 8, w8 * 8)
+    )
+
+
+def _fdct_quant(blocks: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 64) zigzagged quantized coefficients."""
+    f = np.einsum("kn,bnm,lm->bkl", _DCT_C, blocks - 128.0, _DCT_C)
+    q = np.round(f / qtbl).astype(np.int32)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
+# --- Huffman -----------------------------------------------------------------
+
+
+def _build_optimal_code(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Length-limited (<=16) canonical Huffman code for 256 symbols + the
+    reserved pseudo-symbol 256 (freq 1) that guarantees no REAL symbol is
+    assigned the all-ones code (libjpeg's jpeg_gen_optimal_table scheme).
+    Returns (bits, vals): bits[i] = #codes of length i+1, vals = symbols
+    in canonical order."""
+    import heapq
+
+    f = [(int(c), s) for s, c in enumerate(freq) if c > 0]
+    if not f:  # table never referenced in the scan: legal empty DHT
+        return [0] * 16, []
+    f.append((1, 256))  # reserved pseudo-symbol
+    heap = [(c, s, (s,)) for c, s in f]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for _, s in f}
+    while len(heap) > 1:
+        c1, t1, m1 = heapq.heappop(heap)
+        c2, t2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, min(t1, t2), m1 + m2))
+    bits32 = [0] * 33
+    for s, d in depth.items():
+        bits32[min(d, 32)] += 1
+    # libjpeg length-limit adjustment: fold codes longer than 16 upward
+    for i in range(32, 16, -1):
+        while bits32[i] > 0:
+            j = i - 2
+            while bits32[j] == 0:
+                j -= 1
+            bits32[i] -= 2
+            bits32[i - 1] += 1
+            bits32[j + 1] += 2
+            bits32[j] -= 1
+    # remove the pseudo-symbol: it sits among the longest codes
+    for i in range(16, 0, -1):
+        if bits32[i] > 0:
+            bits32[i] -= 1
+            break
+    bits = bits32[1:17]
+    # canonical symbol order: shorter lengths first; within a length, by
+    # ascending symbol value (deterministic across runs)
+    lengths: dict[int, int] = {}
+    order = sorted((d, s) for s, d in depth.items() if s != 256)
+    pos = 0
+    vals = []
+    for li, n in enumerate(bits, start=1):
+        take = n
+        while take > 0:
+            _, s = order[pos]
+            vals.append(s)
+            lengths[s] = li
+            pos += 1
+            take -= 1
+    return bits, vals
+
+
+def _code_assignments(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for li, n in enumerate(bits, start=1):
+        for _ in range(n):
+            out[vals[k]] = (code, li)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DPCM/AC coefficient -> (size category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _block_symbols(zz: np.ndarray, prev_dc: int):
+    """One zigzagged block -> (dc_sym, dc_bits, [(ac_sym, ac_bits, ac_len)],
+    new_prev_dc)."""
+    dc = int(zz[0])
+    s, bits = _magnitude(dc - prev_dc)
+    acs = []
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = -1
+    for idx in nz:
+        run = int(idx) - last - 1
+        last = int(idx)
+        while run >= 16:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        asize, abits = _magnitude(int(zz[1 + idx]))
+        acs.append(((run << 4) | asize, abits, asize))
+    if last != 62:
+        acs.append((0x00, 0, 0))  # EOB
+    return s, bits, acs, dc
+
+
+def jpeg_encode(
+    px: np.ndarray,
+    quality: int = 98,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale with subsampling='gray')
+    -> baseline JFIF JPEG bytes. A non-zero `restart_interval` emits
+    DRI + RSTn markers every that many MCUs (the resynchronization points
+    real encoders emit for error resilience)."""
+    samplings = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+        "gray": [(1, 1)],
+    }
+    if subsampling not in samplings:
+        raise ValueError(f"subsampling must be one of {sorted(samplings)}")
+    sampling = samplings[subsampling]
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if subsampling == "gray":
+        if px.ndim == 3:
+            px = _rgb_to_ycbcr(px)[..., 0]
+        full_planes = [px.astype(np.float64)]
+    else:
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(
+                f"jpeg_encode expects (h, w, 3) uint8, got {px.shape}"
+            )
+        ycc = _rgb_to_ycbcr(px)
+        full_planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    h, w = px.shape[:2]
+    qy, qc = _quality_tables(quality)
+    hmax = max(hh for hh, _ in sampling)
+    vmax = max(vv for _, vv in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component zigzagged quantized blocks, raster order: pad the full
+    # plane to the MCU grid, then box-mean subsample each component to its
+    # sampling share so every component tiles the grid exactly
+    comp_zz = []
+    comp_w8 = []
+    for ci, plane in enumerate(full_planes):
+        hh, vv = sampling[ci]
+        fy, fx = vmax // vv, hmax // hh
+        p = np.pad(
+            plane,
+            ((0, 8 * vmax * mcus_y - h), (0, 8 * hmax * mcus_x - w)),
+            mode="edge",
+        )
+        if fy > 1 or fx > 1:
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean((1, 3))
+        zz = _fdct_quant(_to_blocks(p), qy if ci == 0 else qc)
+        comp_zz.append(zz)
+        comp_w8.append(p.shape[1] // 8)
+
+    # MCU scan order: interleave per spec
+    ncomp = len(sampling)
+    order = []  # (comp, block_index) in scan order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hh, vv = sampling[ci]
+                for by in range(vv):
+                    for bx in range(hh):
+                        order.append(
+                            (ci, (my * vv + by) * comp_w8[ci] + mx * hh + bx)
+                        )
+
+    # pass 1: symbol stream + frequencies (DC prediction resets at every
+    # restart boundary, matching what the decoder will do)
+    blocks_per_mcu = sum(hh * vv for hh, vv in sampling)
+    dc_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
+    ac_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
+    prev_dc = [0, 0, 0]
+    stream = []
+    for idx, (ci, bi) in enumerate(order):
+        if (
+            restart_interval
+            and idx % blocks_per_mcu == 0
+            and idx
+            and (idx // blocks_per_mcu) % restart_interval == 0
+        ):
+            prev_dc = [0, 0, 0]
+        t = 0 if ci == 0 else 1
+        s, bits, acs, prev = _block_symbols(comp_zz[ci][bi], prev_dc[ci])
+        prev_dc[ci] = prev
+        dc_freq[t][s] += 1
+        for sym, _, _ in acs:
+            ac_freq[t][sym] += 1
+        stream.append((t, s, bits, acs))
+
+    dc_tables = [_build_optimal_code(f[:256]) for f in dc_freq]
+    ac_tables = [_build_optimal_code(f[:256]) for f in ac_freq]
+    dc_codes = [_code_assignments(*t) for t in dc_tables]
+    ac_codes = [_code_assignments(*t) for t in ac_tables]
+
+    # pass 2: entropy-coded segment (flush + RSTn at restart boundaries)
+    parts = []
+    bw = _BitWriter()
+    for idx, (t, s, bits, acs) in enumerate(stream):
+        if (
+            restart_interval
+            and idx % blocks_per_mcu == 0
+            and idx
+            and (idx // blocks_per_mcu) % restart_interval == 0
+        ):
+            parts.append(bw.flush())
+            rst = (idx // blocks_per_mcu) // restart_interval - 1
+            parts.append(struct.pack(">H", 0xFFD0 + (rst % 8)))
+            bw = _BitWriter()
+        code, ln = dc_codes[t][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        for sym, abits, asize in acs:
+            code, ln = ac_codes[t][sym]
+            bw.put(code, ln)
+            if asize:
+                bw.put(abits, asize)
+    parts.append(bw.flush())
+    ecs = b"".join(parts)
+
+    # headers
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    n_tables = 1 if ncomp == 1 else 2
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, tbl in ((0, qy), (1, qc))[:n_tables]:
+        out += seg(0xFFDB, bytes([tid]) + bytes(
+            int(x) for x in tbl.reshape(64)[_ZIGZAG]
+        ))
+    comps = b""
+    for ci in range(ncomp):
+        hh, vv = sampling[ci]
+        comps += bytes([ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    for cls, tables in ((0, dc_tables), (1, ac_tables)):
+        for tid, (bits_list, vals) in enumerate(tables[:n_tables]):
+            out += seg(
+                0xFFC4,
+                bytes([(cls << 4) | tid]) + bytes(bits_list) + bytes(vals),
+            )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decode via the T.81 mincode/maxcode walk."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for li in range(1, 17):
+            n = bits[li - 1]
+            if n:
+                self.valptr[li] = k
+                self.mincode[li] = code
+                code += n
+                k += n
+                self.maxcode[li] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        self._fill(16)
+        window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        code = 0
+        for li in range(1, 17):
+            code = window >> (16 - li)
+            if code <= table.maxcode[li]:
+                self.nbits -= li
+                self.acc &= (1 << self.nbits) - 1
+                return table.vals[table.valptr[li] + code - table.mincode[li]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. See module docstring."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq = body[bp] >> 4
+                tid = body[bp] & 0x0F
+                if pq == 0:
+                    tbl = np.frombuffer(body[bp + 1 : bp + 65], dtype=np.uint8)
+                    bp += 65
+                else:
+                    tbl = np.frombuffer(
+                        body[bp + 1 : bp + 129], dtype=">u2"
+                    )
+                    bp += 129
+                out = np.zeros(64, dtype=np.int32)
+                out[_ZIGZAG] = tbl.astype(np.int32)
+                qtables[tid] = out.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                cls = body[bp] >> 4
+                tid = body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = body[bp + 17 : bp + 17 + nv]
+                htables[(cls, tid)] = _HuffTable(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline-ish)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            for c in comps:
+                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling {c['h']}x{c['v']} unsupported"
+                    )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            # entropy-coded data runs to the next non-RST marker
+            end = pos
+            while end + 1 < n:
+                if data[end] == 0xFF and data[end + 1] not in (0x00,) and not (
+                    0xD0 <= data[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            ecs = data[pos:end]
+            pos = end
+            return _decode_scan(
+                ecs, scan, comps, h, w, qtables, htables, restart_interval
+            )
+    raise ValueError("JPEG stream has no SOS scan")
+
+
+def _decode_scan(ecs, scan, comps, h, w, qtables, htables, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    # per-component coefficient storage (zigzag order per block)
+    store = []
+    for c, _, _ in scan:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        store.append(np.zeros((bh * bw, 64), dtype=np.int32))
+
+    # restart segments: split on RSTn, unstuff each
+    if restart_interval:
+        segments = []
+        cur = bytearray()
+        i = 0
+        while i < len(ecs):
+            if ecs[i] == 0xFF and i + 1 < len(ecs):
+                nxt = ecs[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+            cur.append(ecs[i])
+            i += 1
+        segments.append(bytes(cur))
+    else:
+        segments = [ecs.replace(b"\xff\x00", b"\xff")]
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = [0] * len(scan)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(scan)
+        my, mx = divmod(m, mcus_x)
+        for si, (c, td, ta) in enumerate(scan):
+            dc = htables[(0, td)]
+            ac = htables[(1, ta)]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.int32)
+                    s = reader.decode(dc)
+                    diff = _extend(reader.receive(s), s)
+                    pred[si] += diff
+                    blk[0] = pred[si]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        blk[k] = _extend(reader.receive(size), size)
+                        k += 1
+                    bw_c = mcus_x * c["h"]
+                    bi = (my * c["v"] + by) * bw_c + mx * c["h"] + bx
+                    store[si][bi] = blk
+
+    # dequantize + IDCT + assemble planes (vectorized per component)
+    planes = []
+    for si, (c, _, _) in enumerate(scan):
+        q = qtables[c["tq"]]
+        zz = store[si]
+        spatial = _dequant_idct_zz(zz, q)
+        bw_c = mcus_x * c["h"]
+        bh_c = mcus_y * c["v"]
+        plane = _from_blocks(spatial, bh_c, bw_c)
+        # upsample to full MCU-grid resolution
+        ry = (8 * vmax * mcus_y) // plane.shape[0]
+        rx = (8 * hmax * mcus_x) // plane.shape[1]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, np.newaxis], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _dequant_idct_zz(zz: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(n, 64) zigzag-order coefficients + row-major 8x8 qtable ->
+    (n, 8, 8) spatial."""
+    coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
+    coef[:, _ZIGZAG] = zz  # zigzag pos k lands at block-flat _ZIGZAG[k]
+    coef *= qtbl.reshape(64)[np.newaxis, :]
+    coef = coef.reshape(-1, 8, 8)
+    return np.einsum("kn,bkl,lm->bnm", _DCT_C, coef, _DCT_C) + 128.0

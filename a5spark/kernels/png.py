@@ -1,11 +1,15 @@
 """Dependency-free PNG codec (stdlib zlib + numpy) — makes one container
 image format REAL in environments without Pillow.
 
-Scope: non-interlaced, bit depth 8, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA); all five filter types on decode.
-Alpha is dropped on decode (matching Pillow's ``convert("RGB")`` for fully
-opaque images — the only kind our encoder and pipelines produce); gray
-replicates to 3 channels. The encoder writes filter-0 RGB rows with one
+Decode scope (round 7 — full mainstream coverage): bit depths 1/2/4/8/16,
+color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+interlace 0 and 1 (Adam7), all five filter types. Alpha is dropped on
+decode (matching Pillow's ``convert("RGB")`` for fully opaque images — the
+only kind our encoder and pipelines produce); gray replicates to 3
+channels; 16-bit samples take their high byte (the standard 16->8
+reduction); sub-byte grays scale exactly (255/(2^d-1) is integral for
+d in {1,2,4}). The encoder writes filter-0 RGB rows (8-bit uint8 input or
+16-bit uint16 input), optionally Adam7-interlaced, with one
 zlib-compressed IDAT — the simplest spec-valid stream, chosen for
 determinism (byte-stable output for byte-stable input), not ratio.
 
@@ -34,21 +38,54 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def png_encode(px: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8, filter 0)."""
-    px = np.ascontiguousarray(px, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError(f"png_encode expects (h, w, 3) uint8, got {px.shape}")
-    h, w = px.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    # one filter byte (0 = None) per row, then the raw row
-    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter0_rows(px: np.ndarray) -> bytes:
+    """(h, w, c) sample array -> filter-0 scanline bytes (big-endian for
+    16-bit samples)."""
+    h = px.shape[0]
+    flat = px.reshape(h, -1)
+    if px.dtype == np.uint16:
+        body = flat.astype(">u2").view(np.uint8).reshape(h, -1)
+    else:
+        body = flat
+    raw = np.empty((h, 1 + body.shape[1]), dtype=np.uint8)
     raw[:, 0] = 0
-    raw[:, 1:] = px.reshape(h, w * 3)
+    raw[:, 1:] = body
+    return raw.tobytes()
+
+
+def png_encode(px: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 (bit depth 8) or uint16 (bit depth 16) -> PNG bytes
+    (color type 2, filter 0, optionally Adam7-interlaced)."""
+    if px.dtype == np.uint16:
+        depth = 16
+        px = np.ascontiguousarray(px)
+    else:
+        depth = 8
+        px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"png_encode expects (h, w, 3), got {px.shape}")
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter0_rows(sub))
+        raw = b"".join(parts)
+    else:
+        raw = _filter0_rows(px)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -96,6 +133,35 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _decode_pass(
+    raw: np.ndarray, w: int, h: int, depth: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image: `raw` starts at the pass's first
+    filter byte. Returns ((h, w, ch) sample array in the stream's sample
+    width, bytes consumed)."""
+    rowbytes = (w * ch * depth + 7) // 8
+    need = h * (1 + rowbytes)
+    if raw.size < need:
+        raise ValueError("PNG pixel data size mismatch")
+    bpp = max(1, (ch * depth) // 8)
+    rows = _unfilter(raw[:need].reshape(h, 1 + rowbytes), h, rowbytes, bpp)
+    if depth == 8:
+        px = rows.reshape(h, rowbytes)[:, : w * ch].reshape(h, w, ch)
+    elif depth == 16:
+        px = (
+            rows.reshape(h, rowbytes)
+            .view(">u2")[:, : w * ch]
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
+    else:  # 1 / 2 / 4 — gray or palette only (ch == 1)
+        bits = np.unpackbits(rows, axis=1)  # (h, rowbytes*8), MSB first
+        vals = bits[:, : w * depth * ch].reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = (vals * weights).sum(axis=2).astype(np.uint8).reshape(h, w, ch)
+    return px, need
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8. See module docstring for scope."""
     if bytes(data[:8]) != _SIGNATURE:
@@ -121,23 +187,41 @@ def png_decode(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG stream missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if ctype not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and ctype not in (0, 3)
+    ) or (depth == 16 and ctype == 3):
+        raise ValueError(f"invalid PNG depth/color combination {depth}/{ctype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     ch = _CHANNELS[ctype]
-    stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + stride):
-        raise ValueError("PNG pixel data size mismatch")
-    px = _unfilter(raw.reshape(h, 1 + stride), h, stride, ch)
-    px = px.reshape(h, w, ch)
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        px, _ = _decode_pass(raw, w, h, depth, ch)
+    else:
+        px = np.zeros((h, w, ch), dtype=sample_dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _decode_pass(raw[off:], wp, hp, depth, ch)
+            off += used
+            px[y0::dy, x0::dx] = sub
+
+    # normalize sample width to 8-bit
+    if depth == 16:
+        px = (px >> 8).astype(np.uint8)
+    elif depth < 8 and ctype == 0:
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+
     if ctype == 2:
-        return px
+        return np.ascontiguousarray(px)
     if ctype == 6:
         return np.ascontiguousarray(px[:, :, :3])
     if ctype == 0:

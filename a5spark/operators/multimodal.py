@@ -5,13 +5,11 @@ the input_hint schema. All pixel work runs in Arrow-batched kernels over
 mapInPandas / pandas UDFs; nothing decodes per-row in Python object space.
 
 Codec support: 'png' decodes/encodes through a dependency-free stdlib codec
-(kernels/png.py — real everywhere, including this sandbox); 'jpeg' is
-import-gated on Pillow — when the package is installed the same decode
-kernel handles it (tests activate automatically), otherwise it raises a
-clearly-marked NotImplementedError. The synthetic 'rgb8' raw format decodes
-with numpy frombuffer + reshape. Either way the whole Spark-side plumbing —
-schema, batch shape, UDF signatures, PSNR verification — is genuine and
-tested.
+(kernels/png.py — real everywhere, including this sandbox); 'jpeg' likewise
+through the dependency-free baseline codec (kernels/jpeg.py — SOF0, stream
+Huffman tables, 4:4:4/4:2:2/4:2:0/grayscale, restart markers), with Pillow
+as a cross-check when installed (tests activate automatically). The
+synthetic 'rgb8' raw format decodes with numpy frombuffer + reshape.
 """
 
 import math
@@ -23,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -41,23 +40,23 @@ except ImportError:  # pragma: no cover - exercised when Pillow is installed
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """binary -> (h, w, 3) uint8 array. The raw 'rgb8' format decodes with
     numpy alone; 'png' decodes through the dependency-free stdlib codec
-    (kernels/png.py — REAL in this sandbox, all filter types, gray/RGB/
-    palette/alpha color types); jpeg decodes through Pillow WHEN INSTALLED
-    (import-gated — the same kernel, so every operator above it picks up
-    codec support with no other change); without Pillow, jpeg raises."""
+    (kernels/png.py — all filter types, gray/RGB/palette/alpha color
+    types); 'jpeg' through the dependency-free baseline codec
+    (kernels/jpeg.py — SOF0, stream-carried Huffman tables, subsampling,
+    restart markers). Both are REAL in this sandbox; Pillow, when
+    installed, serves as a cross-check (tests activate automatically)."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
     if fmt == "png":
         from a5spark.kernels.png import png_decode
 
         return png_decode(data)
-    if fmt in ("jpeg", "jpg") and _PILImage is not None:
-        import io
+    if fmt in ("jpeg", "jpg"):
+        from a5spark.kernels.jpeg import jpeg_decode
 
-        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+        return jpeg_decode(data)
     raise NotImplementedError(
-        f"decode for format {fmt!r} requires an image codec library "
-        "(install Pillow to enable jpeg in this kernel)"
+        f"decode for format {fmt!r} not supported (rgb8/png/jpeg)"
     )
 
 
@@ -68,16 +67,12 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
         from a5spark.kernels.png import png_encode
 
         return png_encode(px)
-    if fmt in ("jpeg", "jpg") and _PILImage is not None:
-        import io
+    if fmt in ("jpeg", "jpg"):
+        from a5spark.kernels.jpeg import jpeg_encode
 
-        buf = io.BytesIO()
-        _PILImage.fromarray(px.astype(np.uint8), mode="RGB").save(
-            buf, format="JPEG"
-        )
-        return buf.getvalue()
+        return jpeg_encode(px)
     raise NotImplementedError(
-        f"encode for format {fmt!r} not available (install Pillow for jpeg)"
+        f"encode for format {fmt!r} not supported (rgb8/png/jpeg)"
     )
 
 
@@ -164,6 +159,58 @@ def rgb8_to_png(data: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
         px = np.frombuffer(d, dtype=np.uint8, count=int(wi) * int(hi) * 3)
         out.append(png_encode(px.reshape(int(hi), int(wi), 3)))
     return pd.Series(out)
+
+
+_TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_src_bytes", LongType()),
+        StructField("n_enc_bytes", LongType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("psnr_ok", BooleanType()),
+    ]
+)
+
+
+def transcode_psnr(
+    df: DataFrame,
+    fmt: str = "jpeg",
+    threshold: float = 40.0,
+    quality: int = 98,
+    subsampling: str = "444",
+) -> DataFrame:
+    """Lossy-codec round-trip gate — the input_hint's per-row invariant for
+    lossy formats (decoded-pixel PSNR >= 40 dB): decode each row's rgb8
+    source, transcode through the real container codec (kernels/jpeg.py or
+    kernels/png.py), decode back, and report per-image PSNR + pass flag.
+    Arrow-batched mapInPandas; the entropy layer is per-image Python by
+    spec (sequential bitstream), DCT/color math is vectorized numpy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from a5spark.kernels.jpeg import jpeg_encode
+
+        for pdf in batches:
+            rows = []
+            for iid, data, wi, hi in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                src = decode_image(bytes(data), int(wi), int(hi), "rgb8")
+                if fmt in ("jpeg", "jpg"):
+                    enc = jpeg_encode(src, quality, subsampling)
+                else:
+                    enc = encode_image(src, fmt)
+                dec = decode_image(enc, int(wi), int(hi), fmt)
+                p = psnr(src, dec)
+                rows.append(
+                    (iid, int(wi) * int(hi) * 3, len(enc), p, p >= threshold)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TRANSCODE_SCHEMA]
+            )
+
+    return df.select("image_id", "bytes", "w", "h").mapInPandas(
+        run, _TRANSCODE_SCHEMA
+    )
 
 
 def image_moments(df: DataFrame) -> DataFrame:

@@ -57,10 +57,13 @@ def test_resize_and_stats(spark):
     assert all(len(r["bytes"]) == 16 * 16 * 3 for r in resized)
 
 
-def test_codec_stub_raises():
+def test_codec_unknown_format_raises():
     from a5spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 12, 2, 2, "webp")
+    # a truncated JPEG is a hard parse error, not a silent wrong answer
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", 10, 10, "jpeg")
 
 

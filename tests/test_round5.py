@@ -286,19 +286,17 @@ def test_codec_decode_via_pillow_when_installed():
     assert out.shape == (32, 48, 3) and out.dtype == np.uint8
 
 
-def test_codec_decode_raises_without_pillow():
-    """Without Pillow the jpeg path must raise the documented
-    NotImplementedError (not a silent wrong answer)."""
-    try:
-        import PIL  # noqa: F401
+def test_codec_jpeg_decodes_without_pillow():
+    """Round 7: jpeg no longer needs Pillow — the stdlib baseline codec
+    (kernels/jpeg.py) round-trips through the same decode kernel every
+    image operator uses."""
+    from a5spark.operators.multimodal import decode_image, encode_image, psnr
 
-        pytest.skip("Pillow installed — covered by the round-trip test")
-    except ImportError:
-        pass
-    from a5spark.operators.multimodal import decode_image
-
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
+    px = (np.arange(48 * 32 * 3, dtype=np.uint64) * 7919 % 256).astype(np.uint8)
+    px = px.reshape(32, 48, 3)
+    out = decode_image(encode_image(px, "jpeg"), 48, 32, "jpeg")
+    assert out.shape == (32, 48, 3) and out.dtype == np.uint8
+    assert psnr(px, out) >= 40.0
 
 
 def teardown_module(module):

@@ -144,6 +144,265 @@ def test_images_count_hint_matches_scan(spark):
     assert images_count_hint("/nonexistent/sf_dir") is None
 
 
+# --- baseline JPEG codec (kernels/jpeg.py) ----------------------------------
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Round trip across subsamplings, odd sizes, and restart intervals.
+    4:4:4 at the default quality must clear the input_hint's 40 dB lossy
+    bar even on worst-case noise; subsampled modes are gated on smooth
+    content (the content they are FOR — random chroma is their documented
+    worst case, not a defect)."""
+    import numpy as np
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(11)
+    x = np.linspace(0, 255, 57)[None, :].repeat(43, 0)
+    smooth = np.stack([x, x[::-1], 0.5 * x + 64], axis=-1).astype(np.uint8)
+    noise = rng.randint(0, 256, size=(43, 57, 3), dtype=np.uint8)
+    for px in (smooth, noise):
+        for sub in ("444", "422", "420"):
+            for ri in (0, 3):
+                out = jpeg_decode(jpeg_encode(px, 98, sub, restart_interval=ri))
+                assert out.shape == px.shape and out.dtype == np.uint8
+    assert _psnr(noise, jpeg_decode(jpeg_encode(noise, 98, "444"))) >= 40.0
+    for sub in ("422", "420"):
+        assert _psnr(smooth, jpeg_decode(jpeg_encode(smooth, 98, sub))) >= 45.0
+    # restart markers change framing only, never pixels
+    a = jpeg_decode(jpeg_encode(noise, 95, "444", 0))
+    b = jpeg_decode(jpeg_encode(noise, 95, "444", 2))
+    assert np.array_equal(a, b)
+    # deterministic bytes
+    assert jpeg_encode(noise, 95) == jpeg_encode(noise, 95)
+
+
+def test_jpeg_grayscale_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, size=(30, 31), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(g, 98, "gray"))
+    assert out.shape == (30, 31, 3)
+    ref = np.repeat(g[..., None], 3, 2)
+    assert _psnr(ref, out) >= 45.0
+    # 3-channel input through the gray path uses luma
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert jpeg_decode(jpeg_encode(rgb, 98, "gray")).shape == (16, 16, 3)
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01")
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xdb")  # truncated after SOI
+    # progressive (SOF2) is explicitly unsupported, not silently wrong
+    d = bytearray(jpeg_encode(rgb, 95))
+    i = d.find(b"\xff\xc0")
+    d[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(d))
+
+
+def test_jpeg_pillow_crosscheck():
+    """Activates where Pillow exists: Pillow must decode OUR stream (spec
+    compliance of the emitted JFIF), and our decoder must decode PILLOW's
+    stream, both within IDCT-precision tolerance of each other."""
+    import numpy as np
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    ours = jpeg_encode(px, 95, "444")
+    pil_dec = np.asarray(
+        PIL_Image.open(io.BytesIO(ours)).convert("RGB"), dtype=np.uint8
+    )
+    assert _psnr(jpeg_decode(ours), pil_dec) >= 45.0
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="RGB").save(buf, format="JPEG", quality=95)
+    assert _psnr(
+        jpeg_decode(buf.getvalue()),
+        np.asarray(
+            PIL_Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+            dtype=np.uint8,
+        ),
+    ) >= 45.0
+
+
+def test_jpeg_oracle_query_matches(spark):
+    """Driver-style gate for image_jpeg_psnr at the local sf."""
+    import duckdb
+
+    from a5spark.entry_queries import ORACLES, QUERIES
+
+    pdf = QUERIES["image_jpeg_psnr"](spark, SF_DIR).toPandas()
+    assert bool(pdf["psnr_ge_40"].all())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = con.execute(ORACLES["image_jpeg_psnr"]).fetchdf()
+    assert len(want) == len(pdf)
+    got = pdf.sort_values("image_id").reset_index(drop=True)
+    want = want.sort_values("image_id").reset_index(drop=True)
+    assert (got["n_src_bytes"].to_numpy() == want["n_src_bytes"].to_numpy()).all()
+    assert (got["psnr_ge_40"].to_numpy() == want["psnr_ge_40"].to_numpy()).all()
+
+
+# --- PNG 16-bit / Adam7 / sub-byte depths (round-7 codec completion) --------
+
+
+def test_png_adam7_and_depth16_roundtrip():
+    import numpy as np
+
+    from a5spark.kernels.png import png_decode, png_encode
+
+    rng = np.random.RandomState(19)
+    for shape in [(1, 1), (7, 5), (40, 33)]:
+        px = rng.randint(0, 256, size=shape + (3,), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(px, interlace=True)), px)
+    px16 = rng.randint(0, 65536, size=(21, 13, 3)).astype(np.uint16)
+    for inter in (False, True):
+        out = png_decode(png_encode(px16, interlace=inter))
+        assert np.array_equal(out, (px16 >> 8).astype(np.uint8))
+
+
+def test_png_subbyte_depths_decode():
+    """Hand-built depth-4 grayscale and depth-1 palette streams decode
+    exactly (gray scales by 17 = 255/15; palette indexes by bit)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from a5spark.kernels.png import _SIGNATURE, _chunk, png_decode
+
+    rng = np.random.RandomState(23)
+    w, h = 5, 3
+    g = rng.randint(0, 16, size=(h, w), dtype=np.uint8)
+    rows = []
+    for y in range(h):
+        b = bytearray([0])
+        cur, nn = 0, 0
+        for v in g[y]:
+            cur = (cur << 4) | int(v)
+            nn += 1
+            if nn == 2:
+                b.append(cur)
+                cur, nn = 0, 0
+        if nn:
+            b.append(cur << 4)
+        rows.append(bytes(b))
+    data = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(data), np.repeat((g * 17)[..., None], 3, 2))
+
+    w, h = 10, 2
+    idx = rng.randint(0, 2, size=(h, w), dtype=np.uint8)
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    rows = [bytes([0]) + np.packbits(idx[y]).tobytes() for y in range(h)]
+    data = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(data), pal[idx])
+
+
+def test_png_pillow_crosscheck_extended():
+    """Activates where Pillow exists: Pillow decodes our interlaced and
+    16-bit streams to the same pixels we do."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    from a5spark.kernels.png import png_decode, png_encode
+
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    data = png_encode(px, interlace=True)
+    pil = np.asarray(
+        PIL_Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8
+    )
+    assert np.array_equal(pil, png_decode(data))
+
+
+# --- Iceberg metadata export (layout interop exit ramp) ---------------------
+
+
+def test_iceberg_export_roundtrips_scan_plan(spark):
+    """The Iceberg-model export is lossless for scan planning: a manifest
+    reconstructed from the exported metadata ALONE selects the same files
+    for a cover (and carries identical rows/bounds/sizes) as the live
+    manifest — including for a pinned earlier snapshot after maintenance."""
+    import shutil
+
+    from a5spark.entry_queries import _LAYOUT_COVER
+    from a5spark.operators import layout
+    from a5spark.operators.iceberg_export import (
+        iceberg_metadata_to_layout_manifest,
+        layout_to_iceberg_metadata,
+    )
+
+    d = "/tmp/a5spark_test/r7_iceberg"
+    _mini_layout(spark, d, n_files=8)
+    man0 = layout.read_manifest(spark, d)
+    sizes = [e["bytes"] for e in man0["files"]]
+    layout.optimize_cell_layout(
+        spark, d,
+        target_file_bytes=sum(sizes) // 2,
+        min_file_bytes=max(sizes) + 1,
+        retain_old=True,
+    )
+    live = layout.read_manifest(spark, d)
+
+    meta = layout_to_iceberg_metadata(spark, d)
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == live["version"]
+    assert len(meta["snapshots"]) >= 2  # base write + >=1 optimize commit
+
+    rebuilt = iceberg_metadata_to_layout_manifest(f"{d}/_iceberg")
+    key = lambda m: sorted(  # noqa: E731
+        (e["file"], e["lo"], e["hi"], e["rows"], e["bytes"])
+        for e in m["files"]
+    )
+    assert key(rebuilt) == key(live)
+    assert rebuilt["key_col"] == live["key_col"]
+    ranges = layout.cover_key_ranges(_LAYOUT_COVER)
+    assert [e["file"] for e in layout._select_files(rebuilt, ranges)] == [
+        e["file"] for e in layout._select_files(live, ranges)
+    ]
+    # pinned snapshot round-trips too
+    pin = man0["version"]
+    pinned_live = layout.read_manifest(spark, d, version=pin)
+    pinned_rebuilt = iceberg_metadata_to_layout_manifest(
+        f"{d}/_iceberg", snapshot_id=pin
+    )
+    assert key(pinned_rebuilt) == key(pinned_live)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 # --- layout commit-protocol hardening (ADVICE layout.py:306/610) -----------
 
 
