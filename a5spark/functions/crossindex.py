@@ -1,11 +1,21 @@
 """Cross-index encoders: S2 and H3 cells alongside A5, for joins against
 datasets keyed by other DGGS systems.
 
-S2 is implemented natively in numpy (a5spark.kernels.s2). H3 has no public
-pure-python implementation bundled here; the UDF uses the `h3` library when
-importable and otherwise raises NotImplementedError at execution time — the
-plumbing (signature, types, multi-index assignment helper) is real either
-way.
+S2 is implemented natively in numpy (a5spark.kernels.s2). H3 stays
+DELIBERATELY import-gated rather than reimplemented (round-7 decision):
+an H3 index is defined not just by its geometry (icosahedral gnomonic +
+aperture-7 hex IJK — reimplementable) but by the canonical base-cell
+assignment tables (the 540-entry face-IJK-to-base-cell table and 122-entry
+base-cell orientation data in Uber's h3 faceijk.c). Those tables are pure
+DATA: they cannot be derived from first principles, and with no `h3`
+package or table source available in this environment a from-memory
+reconstruction could not be validated — a wrong entry would silently
+mis-index every row in its region, strictly worse than an explicit gate.
+The UDF uses the `h3` library when importable (argument-order parity
+pinned by published doc vectors in tests/test_round7.py, which activate
+with the package) and otherwise raises NotImplementedError at execution
+time — the plumbing (signature, types, multi-index assignment helper) is
+real either way.
 """
 
 import numpy as np

@@ -156,6 +156,7 @@ def streaming_dedup_ttl(
     ts_col: str = "ts",
     ttl: str = "1 hour",
     watermark: str = "10 minutes",
+    source_options: dict | None = None,
 ) -> DataFrame:
     """Streaming exact-dedup canonical mapping with BOUNDED state for
     time-keyed sources: one state entry per content digest seen within the
@@ -169,7 +170,13 @@ def streaming_dedup_ttl(
     from a5spark.operators.dedup import content_digest
 
     ttl_ms = int(_pd.Timedelta(ttl).total_seconds() * 1000)
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    # source_options passes file-source tuning through (e.g.
+    # maxFilesPerTrigger to bound micro-batch size — with AvailableNow this
+    # is what caps per-batch state-update volume in a backfill)
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(source_dir)
     keyed = stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).cast("timestamp").alias("ts"),

@@ -131,11 +131,15 @@ def streaming_sessions(
     schema,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    source_options: dict | None = None,
 ) -> DataFrame:
     """Streaming gap-sessionization over a parquet event stream: one state
     entry per active user, sessions emitted on gap or watermark timeout."""
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(source_dir)
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)

@@ -348,6 +348,42 @@ def test_png_pillow_crosscheck_extended():
     assert np.array_equal(pil, png_decode(data))
 
 
+# --- H3 cross-index doc-vector parity (activates when h3 is installed) ------
+
+
+def test_h3_crossindex_doc_vectors(spark):
+    """Published H3 test vectors (h3-py quickstart and H3 docs) through the
+    UDF — catches lat/lon argument-order bugs in the binding the moment the
+    library is present; env-skipped in this sandbox (no pure-python H3
+    exists, and the 540-entry base-cell table is data that cannot be
+    derived or validated offline — see functions/crossindex.py)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("h3")
+    from pyspark.sql import functions as F
+
+    from a5spark.functions.crossindex import h3_lonlat_to_cell
+
+    df = spark.createDataFrame(
+        [
+            (-122.418307270836, 37.7752702151959, 9),
+            (-122.0553238, 37.3615593, 5),
+        ],
+        ["lon", "lat", "res"],
+    )
+    got = {
+        r["res"]: r["c"] & ((1 << 64) - 1)
+        for r in df.select(
+            "res",
+            h3_lonlat_to_cell(
+                F.col("lon"), F.col("lat"), F.col("res")
+            ).alias("c"),
+        ).collect()
+    }
+    assert got[9] == int("8928308280fffff", 16)
+    assert got[5] == int("85283473fffffff", 16)
+
+
 # --- Iceberg metadata export (layout interop exit ramp) ---------------------
 
 
