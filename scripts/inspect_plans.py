@@ -45,6 +45,7 @@ AUDIT = [
     "boundary_wkt",
     "polyfill_multipolygon",
     "image_png_stats",
+    "image_jpeg_psnr",
     "cover_export_wkt",
 ]
 

@@ -348,6 +348,53 @@ def test_png_pillow_crosscheck_extended():
     assert np.array_equal(pil, png_decode(data))
 
 
+# --- jpeg corpus end-to-end through the image operator stack ----------------
+
+
+def test_image_operators_over_jpeg_corpus(spark):
+    """A corpus whose bytes column holds real JPEG streams (fmt='jpeg')
+    flows through the standard operators — image_stats and resize — via the
+    decode dispatch, and the stats stay within the lossy tolerance of the
+    rgb8 originals. This is the real-corpus shape (input_hint fmt covers
+    jpeg); no operator needed changes, only the codec underneath."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    import pandas as pd
+    from a5spark.operators.multimodal import image_stats, resize_images
+    from a5spark.sources.images import images_from_sf_dir
+
+    @F.pandas_udf(BinaryType())
+    def to_jpeg(data: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        from a5spark.kernels.jpeg import jpeg_encode
+
+        out = []
+        for d, wi, hi in zip(data, w, h):
+            px = np.frombuffer(d, dtype=np.uint8).reshape(int(hi), int(wi), 3)
+            out.append(jpeg_encode(px, 98))
+        return pd.Series(out)
+
+    img = images_from_sf_dir(spark, SF_DIR, with_bytes=True).filter(
+        F.col("k") % 100 == 0
+    )
+    rgb_stats = {
+        r["image_id"]: r
+        for r in image_stats(img).collect()
+    }
+    jimg = img.withColumn(
+        "bytes", to_jpeg(F.col("bytes"), F.col("w"), F.col("h"))
+    ).withColumn("fmt", F.lit("jpeg"))
+    j_stats = image_stats(jimg).collect()
+    assert len(j_stats) == len(rgb_stats) > 0
+    for r in j_stats:
+        ref = rgb_stats[r["image_id"]]
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert abs(r[c] - ref[c]) < 1.0, (r["image_id"], c)
+    resized = resize_images(jimg, 16, 16).collect()
+    assert all(len(r["bytes"]) == 16 * 16 * 3 for r in resized)
+
+
 # --- H3 cross-index doc-vector parity (activates when h3 is installed) ------
 
 
