@@ -104,15 +104,6 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
 
 
-def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
-    h, w = plane.shape
-    ph = (-h) % mult
-    pw = (-w) % mult
-    if ph or pw:
-        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    return plane
-
-
 def _to_blocks(plane: np.ndarray) -> np.ndarray:
     """(H, W) with H,W % 8 == 0 -> (H//8 * W//8, 8, 8) in raster order."""
     h, w = plane.shape
@@ -275,11 +266,14 @@ def jpeg_encode(
     quality: int = 98,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale with subsampling='gray')
     -> baseline JFIF JPEG bytes. A non-zero `restart_interval` emits
     DRI + RSTn markers every that many MCUs (the resynchronization points
-    real encoders emit for error resilience)."""
+    real encoders emit for error resilience). `interleave=False` emits one
+    NON-interleaved scan per component (T.81 A.2 — a spec-legal baseline
+    layout some encoders produce; pairs with the decoder's ns=1 path)."""
     samplings = {
         "444": [(1, 1), (1, 1), (1, 1)],
         "422": [(2, 1), (1, 1), (1, 1)],
@@ -342,59 +336,91 @@ def jpeg_encode(
                             (ci, (my * vv + by) * comp_w8[ci] + mx * hh + bx)
                         )
 
+    # scan layout: one interleaved scan over `order`, or (interleave=False)
+    # one non-interleaved scan per component over that component's OWN
+    # block grid in raster order (T.81 A.2), DC prediction independent per
+    # scan. Restart markers are only emitted for the interleaved layout.
+    if interleave or ncomp == 1:
+        scan_orders = [order]
+    else:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval with interleave=False is not supported"
+            )
+        scan_orders = []
+        for ci in range(ncomp):
+            hh, vv = sampling[ci]
+            cw = -(-w * hh // hmax)
+            chh = -(-h * vv // vmax)
+            bwc = -(-cw // 8)
+            bhc = -(-chh // 8)
+            scan_orders.append(
+                [
+                    (ci, by * comp_w8[ci] + bx)
+                    for by in range(bhc)
+                    for bx in range(bwc)
+                ]
+            )
+
     # pass 1: symbol stream + frequencies (DC prediction resets at every
-    # restart boundary, matching what the decoder will do)
+    # restart boundary and at every scan start, matching the decoder)
     blocks_per_mcu = sum(hh * vv for hh, vv in sampling)
     dc_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
     ac_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
-    prev_dc = [0, 0, 0]
-    stream = []
-    for idx, (ci, bi) in enumerate(order):
-        if (
-            restart_interval
-            and idx % blocks_per_mcu == 0
-            and idx
-            and (idx // blocks_per_mcu) % restart_interval == 0
-        ):
-            prev_dc = [0, 0, 0]
-        t = 0 if ci == 0 else 1
-        s, bits, acs, prev = _block_symbols(comp_zz[ci][bi], prev_dc[ci])
-        prev_dc[ci] = prev
-        dc_freq[t][s] += 1
-        for sym, _, _ in acs:
-            ac_freq[t][sym] += 1
-        stream.append((t, s, bits, acs))
+    streams = []
+    for scan_order in scan_orders:
+        prev_dc = [0, 0, 0]
+        stream = []
+        for idx, (ci, bi) in enumerate(scan_order):
+            if (
+                restart_interval
+                and idx % blocks_per_mcu == 0
+                and idx
+                and (idx // blocks_per_mcu) % restart_interval == 0
+            ):
+                prev_dc = [0, 0, 0]
+            t = 0 if ci == 0 else 1
+            s, bits, acs, prev = _block_symbols(comp_zz[ci][bi], prev_dc[ci])
+            prev_dc[ci] = prev
+            dc_freq[t][s] += 1
+            for sym, _, _ in acs:
+                ac_freq[t][sym] += 1
+            stream.append((t, s, bits, acs))
+        streams.append(stream)
 
     dc_tables = [_build_optimal_code(f[:256]) for f in dc_freq]
     ac_tables = [_build_optimal_code(f[:256]) for f in ac_freq]
     dc_codes = [_code_assignments(*t) for t in dc_tables]
     ac_codes = [_code_assignments(*t) for t in ac_tables]
 
-    # pass 2: entropy-coded segment (flush + RSTn at restart boundaries)
-    parts = []
-    bw = _BitWriter()
-    for idx, (t, s, bits, acs) in enumerate(stream):
-        if (
-            restart_interval
-            and idx % blocks_per_mcu == 0
-            and idx
-            and (idx // blocks_per_mcu) % restart_interval == 0
-        ):
-            parts.append(bw.flush())
-            rst = (idx // blocks_per_mcu) // restart_interval - 1
-            parts.append(struct.pack(">H", 0xFFD0 + (rst % 8)))
-            bw = _BitWriter()
-        code, ln = dc_codes[t][s]
-        bw.put(code, ln)
-        if s:
-            bw.put(bits, s)
-        for sym, abits, asize in acs:
-            code, ln = ac_codes[t][sym]
+    # pass 2: one entropy-coded segment per scan (flush + RSTn at restart
+    # boundaries within the interleaved scan)
+    scan_ecs = []
+    for stream in streams:
+        parts = []
+        bw = _BitWriter()
+        for idx, (t, s, bits, acs) in enumerate(stream):
+            if (
+                restart_interval
+                and idx % blocks_per_mcu == 0
+                and idx
+                and (idx // blocks_per_mcu) % restart_interval == 0
+            ):
+                parts.append(bw.flush())
+                rst = (idx // blocks_per_mcu) // restart_interval - 1
+                parts.append(struct.pack(">H", 0xFFD0 + (rst % 8)))
+                bw = _BitWriter()
+            code, ln = dc_codes[t][s]
             bw.put(code, ln)
-            if asize:
-                bw.put(abits, asize)
-    parts.append(bw.flush())
-    ecs = b"".join(parts)
+            if s:
+                bw.put(bits, s)
+            for sym, abits, asize in acs:
+                code, ln = ac_codes[t][sym]
+                bw.put(code, ln)
+                if asize:
+                    bw.put(abits, asize)
+        parts.append(bw.flush())
+        scan_ecs.append(b"".join(parts))
 
     # headers
     def seg(marker: int, body: bytes) -> bytes:
@@ -420,13 +446,20 @@ def jpeg_encode(
             )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += ecs
+    if len(scan_ecs) == 1:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xFFDA, sos)
+        out += scan_ecs[0]
+    else:  # one non-interleaved SOS per component
+        for ci, ecs in enumerate(scan_ecs):
+            t = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (t << 4) | t, 0, 63, 0])
+            out += seg(0xFFDA, sos)
+            out += ecs
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -522,7 +555,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. See module docstring."""
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. See module docstring.
+    Handles interleaved AND non-interleaved scans (a baseline file may
+    carry one multi-component scan or several sequential single-component
+    scans, T.81 A.2) and fill bytes before markers (B.1.1.2)."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -532,10 +568,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
+    coeff: dict[int, np.ndarray] = {}  # component id -> (n_blocks, 64)
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -614,25 +654,45 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 end += 1
             ecs = data[pos:end]
             pos = end
-            return _decode_scan(
-                ecs, scan, comps, h, w, qtables, htables, restart_interval
+            _decode_scan(
+                ecs, scan, comps, h, w, htables, restart_interval, coeff
             )
+            if len(coeff) == len(comps):
+                return _assemble(coeff, comps, h, w, qtables)
+    if coeff and comps is not None and len(coeff) < len(comps):
+        raise ValueError(
+            "JPEG stream ended before every frame component was scanned"
+        )
     raise ValueError("JPEG stream has no SOS scan")
 
 
-def _decode_scan(ecs, scan, comps, h, w, qtables, htables, restart_interval):
+def _frame_geometry(comps, h, w):
+    """MCU grid + per-component FRAME block dims (interleaved padding)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
+    return hmax, vmax, mcus_x, mcus_y
 
-    # per-component coefficient storage (zigzag order per block)
+
+def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
+    """Decode one scan's entropy data into `coeff[component id]` — a
+    frame-geometry (n_blocks, 64) zigzag-order array per component. A scan
+    with ns > 1 is interleaved (MCU = sampling-factor block cluster); a
+    single-component scan is NON-interleaved per T.81 A.2: the MCU is one
+    data unit and the block grid is the component's own ceil(cw/8) x
+    ceil(ch/8), written into the frame-padded grid (padding blocks stay
+    zero and are cropped away after upsampling)."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(comps, h, w)
+
+    # frame-geometry storage per scanned component (zigzag order per block)
     store = []
     for c, _, _ in scan:
         bw = mcus_x * c["h"]
         bh = mcus_y * c["v"]
-        store.append(np.zeros((bh * bw, 64), dtype=np.int32))
+        store.append(
+            coeff.setdefault(c["id"], np.zeros((bh * bw, 64), dtype=np.int32))
+        )
 
     # restart segments: split on RSTn, unstuff each
     if restart_interval:
@@ -657,48 +717,75 @@ def _decode_scan(ecs, scan, comps, h, w, qtables, htables, restart_interval):
     else:
         segments = [ecs.replace(b"\xff\x00", b"\xff")]
 
+    def _decode_block(reader, dc, ac, out, bi, si, pred):
+        blk = np.zeros(64, dtype=np.int32)
+        s = reader.decode(dc)
+        diff = _extend(reader.receive(s), s)
+        pred[si] += diff
+        blk[0] = pred[si]
+        k = 1
+        while k < 64:
+            rs = reader.decode(ac)
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            blk[k] = _extend(reader.receive(size), size)
+            k += 1
+        out[bi] = blk
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        # non-interleaved: the component's OWN block grid, raster order
+        c0 = scan[0][0]
+        cw = -(-w * c0["h"] // hmax)
+        chh = -(-h * c0["v"] // vmax)
+        ni_bw = -(-cw // 8)
+        ni_bh = -(-chh // 8)
+        n_units = ni_bw * ni_bh
+
     seg_idx = 0
     reader = _BitReader(segments[0])
     pred = [0] * len(scan)
-    for m in range(n_mcus):
+    for m in range(n_units):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             reader = _BitReader(segments[seg_idx])
             pred = [0] * len(scan)
-        my, mx = divmod(m, mcus_x)
-        for si, (c, td, ta) in enumerate(scan):
-            dc = htables[(0, td)]
-            ac = htables[(1, ta)]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int32)
-                    s = reader.decode(dc)
-                    diff = _extend(reader.receive(s), s)
-                    pred[si] += diff
-                    blk[0] = pred[si]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(ac)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        blk[k] = _extend(reader.receive(size), size)
-                        k += 1
-                    bw_c = mcus_x * c["h"]
-                    bi = (my * c["v"] + by) * bw_c + mx * c["h"] + bx
-                    store[si][bi] = blk
+        if interleaved:
+            my, mx = divmod(m, mcus_x)
+            for si, (c, td, ta) in enumerate(scan):
+                dc = htables[(0, td)]
+                ac = htables[(1, ta)]
+                bw_c = mcus_x * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * bw_c + mx * c["h"] + bx
+                        _decode_block(reader, dc, ac, store[si], bi, si, pred)
+        else:
+            c, td, ta = scan[0]
+            by, bx = divmod(m, ni_bw)
+            bi = by * (mcus_x * c["h"]) + bx  # frame-padded row stride
+            _decode_block(
+                reader, htables[(0, td)], htables[(1, ta)], store[0], bi, 0, pred
+            )
 
-    # dequantize + IDCT + assemble planes (vectorized per component)
+
+def _assemble(coeff, comps, h, w, qtables):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    per-component coefficient grids (vectorized per component)."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(comps, h, w)
     planes = []
-    for si, (c, _, _) in enumerate(scan):
+    for c in comps:
         q = qtables[c["tq"]]
-        zz = store[si]
+        zz = coeff[c["id"]]
         spatial = _dequant_idct_zz(zz, q)
         bw_c = mcus_x * c["h"]
         bh_c = mcus_y * c["v"]

@@ -84,6 +84,12 @@ def layout_to_iceberg_metadata(
         raise ValueError("iceberg export currently supports local paths")
 
     current = _layout.read_manifest(spark, path)
+    if not current["files"]:
+        raise ValueError(
+            f"cannot export an empty layout at {path}: the manifest "
+            "references no data files (no schema sample to derive field "
+            "ids from)"
+        )
     current_v = current.get("version", 0)
     versions = []
     for v in sorted(_layout._version_numbers(spark, path)):

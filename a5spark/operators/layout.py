@@ -362,6 +362,24 @@ def _commit_manifest(
                     last_sig = sig
                     deadline = _time.monotonic() + _TORN_GRACE_SEC
             if not healed:
+                # Final check-then-act narrowing: re-read the entry
+                # IMMEDIATELY before deleting — a stalled writer that
+                # completed between the last poll (up to _TORN_POLL_SEC
+                # ago) and here is detected and honored. The residual
+                # window is the sub-ms gap between this parse attempt and
+                # the delete; a writer would have to complete its write,
+                # pass its own readback, AND report success inside that
+                # gap after already stalling > _TORN_GRACE_SEC. This is a
+                # plain-filesystem limitation: create-if-absent + delete
+                # cannot express compare-and-delete. On object stores the
+                # whole repair path is moot — a PUT is all-or-nothing, so
+                # torn reservations cannot exist there (conditional-put
+                # creates are atomic and complete).
+                try:
+                    json.loads(_read_text(spark, vfile))
+                    continue  # completed after the last poll — lost race
+                except Exception:
+                    pass
                 fs.delete(vpath, False)
                 continue  # retake the same version
         if retry_update is None:
@@ -777,22 +795,38 @@ def optimize_cell_layout(
         # inheritable_thread_target is the PySpark-documented wrapper for
         # submitting Spark jobs from pool threads under pinned-thread mode
         # (py4j ClientServer): it propagates the caller's JVM-local
-        # properties into each worker thread's dedicated connection.
+        # properties into each worker thread's dedicated connection. With
+        # pinned mode OFF the helper's curried form degenerates (pyspark
+        # returns its argument unchanged, so calling it would invoke the
+        # SparkSession) — plain threads are already correct there.
         from concurrent.futures import ThreadPoolExecutor
 
-        from pyspark import inheritable_thread_target
+        from py4j.clientserver import ClientServer
+        from pyspark import SparkContext, inheritable_thread_target
 
-        run = inheritable_thread_target(spark)(_run_bin)
-        with ThreadPoolExecutor(max_workers=int(parallel_bins)) as pool:
-            futures = [pool.submit(run, i, b) for i, b in enumerate(bins)]
-            for f in futures:
-                f.result()
+        if isinstance(SparkContext._gateway, ClientServer):
+            run = inheritable_thread_target(spark)(_run_bin)
+        else:  # pragma: no cover - PYSPARK_PIN_THREAD=false environments
+            run = _run_bin
+        try:
+            with ThreadPoolExecutor(max_workers=int(parallel_bins)) as pool:
+                futures = [pool.submit(run, i, b) for i, b in enumerate(bins)]
+                for f in futures:
+                    f.result()
+        finally:
+            # the nonce-named tmp dir is unique to this run — an aborted
+            # run (e.g. ConcurrentCommitError from a racing optimize) must
+            # clean it up itself or it leaks a full rewritten copy of its
+            # bins forever (no later run reuses the name)
+            _delete_dir(spark, tmp_root)
     else:
-        for i, b in enumerate(bins):
-            _run_bin(i, b)
+        try:
+            for i, b in enumerate(bins):
+                _run_bin(i, b)
+        finally:
+            _delete_dir(spark, tmp_root)
     manifest = read_manifest(spark, path)
     current = manifest["files"]
-    _delete_dir(spark, tmp_root)
     stats["files_after"] = len(current)
     return stats
 

@@ -31,12 +31,6 @@ from pyspark.sql.types import (
 )
 
 
-try:  # optional codec dependency — absent in this sandbox, real in prod
-    from PIL import Image as _PILImage
-except ImportError:  # pragma: no cover - exercised when Pillow is installed
-    _PILImage = None
-
-
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """binary -> (h, w, 3) uint8 array. The raw 'rgb8' format decodes with
     numpy alone; 'png' decodes through the dependency-free stdlib codec

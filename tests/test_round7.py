@@ -211,6 +211,28 @@ def test_jpeg_grayscale_and_errors():
         jpeg_decode(bytes(d))
 
 
+def test_jpeg_noninterleaved_scans_and_fill_bytes():
+    """Spec-legal baseline layouts beyond the common shape (self-review
+    round 7): one NON-interleaved scan per component (T.81 A.2) decodes
+    bit-identically to the interleaved layout, and 0xFF fill bytes before
+    markers (B.1.1.2) are consumed."""
+    import numpy as np
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(37)
+    px = rng.randint(0, 256, size=(43, 57, 3), dtype=np.uint8)
+    for sub in ("444", "422", "420"):
+        a = jpeg_decode(jpeg_encode(px, 98, sub, interleave=True))
+        b = jpeg_decode(jpeg_encode(px, 98, sub, interleave=False))
+        assert np.array_equal(a, b), sub
+    d = bytearray(jpeg_encode(px, 95))
+    i = d.find(b"\xff\xc0")
+    assert jpeg_decode(
+        bytes(d[:i]) + b"\xff\xff\xff" + bytes(d[i:])
+    ).shape == px.shape
+
+
 def test_jpeg_pillow_crosscheck():
     """Activates where Pillow exists: Pillow must decode OUR stream (spec
     compliance of the emitted JFIF), and our decoder must decode PILLOW's
@@ -692,6 +714,62 @@ def test_two_optimize_runs_race_without_corruption(spark):
         pred = c if pred is None else (pred | c)
     want = sorted(tuple(r) for r in keyed.filter(pred).collect())
     assert sorted(tuple(r) for r in scanned.collect()) == want
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_iceberg_export_empty_layout_raises(spark):
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from a5spark.operators import layout
+    from a5spark.operators.iceberg_export import layout_to_iceberg_metadata
+
+    d = "/tmp/a5spark_test/r7_iceberg_empty"
+    shutil.rmtree(d, ignore_errors=True)
+    df = (
+        spark.range(1)
+        .select(F.lit(1234567).cast("long").alias("cell"))
+        .filter(F.lit(False))
+    )
+    layout.write_cell_layout(df, d, cell="cell", n_files=1)
+    with _pytest.raises(ValueError, match="empty layout"):
+        layout_to_iceberg_metadata(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_optimize_cleans_tmp_dir_on_abort(spark, monkeypatch):
+    """An optimize run that aborts (every bin fails) must still remove its
+    nonce-named _optimize_tmp-* directory — aborted runs would otherwise
+    leak a rewritten copy of their bins forever."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from a5spark.operators import layout
+
+    d = "/tmp/a5spark_test/r7_tmp_cleanup"
+    _mini_layout(spark, d, n_files=8)
+    man = layout.read_manifest(spark, d)
+    sizes = [e["bytes"] for e in man["files"]]
+
+    def always_fail(*args, **kwargs):
+        raise RuntimeError("injected persistent failure")
+
+    monkeypatch.setattr(layout, "_entry_for_file", always_fail)
+    with _pytest.raises(RuntimeError):
+        layout.optimize_cell_layout(
+            spark, d,
+            target_file_bytes=sum(sizes) // 3,
+            min_file_bytes=max(sizes) + 1,
+            parallel_bins=2,
+        )
+    local = layout._local_dir(d)
+    leftovers = [n for n in os.listdir(local) if n.startswith("_optimize_tmp")]
+    assert leftovers == [], leftovers
     shutil.rmtree(d, ignore_errors=True)
 
 
