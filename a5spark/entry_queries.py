@@ -2771,6 +2771,55 @@ def oracle_cell_layout_scan():
     """
 
 
+# --- Iceberg metadata export on the oracle board ----------------------------
+
+
+def q_iceberg_export(spark, sf_dir):
+    """Iceberg-export fidelity gated against the DATA, not our own
+    bookkeeping: export the cell layout's manifest as Iceberg v2-model
+    metadata (operators/iceberg_export.py), reconstruct a manifest from
+    the EXPORTED FILES ALONE, and emit its per-file (record_count, lower/
+    upper bound) stats. The DuckDB oracle recomputes the same stats
+    straight from the layout's parquet files (read_parquet filename=true),
+    so a wrong bound, lost file, or row-count drift in the export chain
+    hash-mismatches — the export is verified end-to-end against the bytes
+    on disk, the property a catalog migration actually needs. Depends on
+    q_cell_layout_scan having materialized the layout (the registry runs
+    in order; standalone use re-materializes)."""
+    from a5spark.operators import layout
+    from a5spark.operators.iceberg_export import (
+        iceberg_metadata_to_layout_manifest,
+        layout_to_iceberg_metadata,
+    )
+
+    try:
+        layout.read_manifest(spark, _LAYOUT_PATH)
+    except Exception:
+        li = _t(spark, sf_dir, "lineitem")
+        df = _spark_cell9(li).select("cell", "l_quantity")
+        layout.write_cell_layout(df, _LAYOUT_PATH, cell="cell", n_files=32)
+    layout_to_iceberg_metadata(spark, _LAYOUT_PATH)
+    rebuilt = iceberg_metadata_to_layout_manifest(f"{_LAYOUT_PATH}/_iceberg")
+    rows = [
+        (e["file"], int(e["rows"]), int(e["lo"]), int(e["hi"]))
+        for e in rebuilt["files"]
+    ]
+    return spark.createDataFrame(
+        rows, "file_name: string, n_rows: long, key_lo: long, key_hi: long"
+    ).orderBy("file_name")
+
+
+def oracle_iceberg_export():
+    return f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cell_key) AS key_lo,
+           max(cell_key) AS key_hi
+    FROM read_parquet('{_LAYOUT_PATH}/*.parquet', filename=true)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
 # --- cell-bucketed co-located join ------------------------------------------
 
 _BUCKETED_A = "/tmp/a5spark_oracle/bucketed_feed_a"
@@ -3058,6 +3107,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "tile_pyramid": q_tile_pyramid,
     "cell_layout_scan": q_cell_layout_scan,
+    "iceberg_export": q_iceberg_export,
     "streaming_dedup_ttl": q_streaming_dedup_ttl,
     "streaming_sessions": q_streaming_sessions,
     "bucketed_join": q_bucketed_join,
@@ -3129,6 +3179,7 @@ ORACLES = {
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),
     "cell_layout_scan": oracle_cell_layout_scan(),
+    "iceberg_export": oracle_iceberg_export(),
     "streaming_dedup_ttl": oracle_streaming_dedup_ttl(),
     "streaming_sessions": oracle_streaming_sessions(),
     "bucketed_join": oracle_bucketed_join(),
