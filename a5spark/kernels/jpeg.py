@@ -554,12 +554,27 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. See module docstring.
     Handles interleaved AND non-interleaved scans (a baseline file may
     carry one multi-component scan or several sequential single-component
-    scans, T.81 A.2) and fill bytes before markers (B.1.1.2)."""
-    data = bytes(data)
+    scans, T.81 A.2) and fill bytes before markers (B.1.1.2).
+    `max_pixels` (default 64M) bounds the frame allocation — a corrupted
+    or adversarial SOF declaring 65535x65535 must fail fast instead of
+    allocating gigabytes mid-ingest (the decompression-bomb guard a
+    real-corpus pipeline needs; Pillow ships the same).
+
+    Error contract (a corrupt-file hygiene a corpus ingest relies on):
+    malformed streams raise ValueError, unsupported-but-valid features
+    raise NotImplementedError — never a raw KeyError/IndexError/
+    struct.error from the parser's internals."""
+    try:
+        return _jpeg_decode_impl(bytes(data), max_pixels)
+    except (KeyError, IndexError, StopIteration, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _jpeg_decode_impl(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -583,6 +598,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2:  # would loop forever on a corrupted length field
+            raise ValueError(f"invalid JPEG segment length {seglen}")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT
@@ -615,6 +632,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if h == 0 or w == 0 or h * w > max_pixels:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} outside the allowed pixel budget "
+                    f"({max_pixels})"
+                )
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG unsupported")
             comps = []

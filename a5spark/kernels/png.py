@@ -162,8 +162,21 @@ def _decode_pass(
     return px, need
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8. See module docstring for scope."""
+def png_decode(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8. See module docstring for scope.
+    `max_pixels` (default 64M) bounds the frame allocation AND the inflate
+    output (zlib is capped at exactly the expected filtered-byte count), so
+    a corrupted or adversarial IHDR/IDAT fails fast instead of allocating
+    gigabytes — the decompression-bomb guard a real-corpus pipeline needs.
+    Error contract: malformed streams raise ValueError (never a raw
+    zlib.error/struct.error/IndexError from the parser's internals)."""
+    try:
+        return _png_decode_impl(bytes(data), max_pixels)
+    except (zlib.error, struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e!r}") from e
+
+
+def _png_decode_impl(data: bytes, max_pixels: int) -> np.ndarray:
     if bytes(data[:8]) != _SIGNATURE:
         raise ValueError("not a PNG stream (bad signature)")
     pos = 8
@@ -197,8 +210,27 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG depth/color combination {depth}/{ctype}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
+    if w == 0 or h == 0 or w * h > max_pixels:
+        raise ValueError(
+            f"PNG frame {w}x{h} outside the allowed pixel budget "
+            f"({max_pixels})"
+        )
     ch = _CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+
+    def _pass_bytes(wp: int, hp: int) -> int:
+        return hp * (1 + (wp * ch * depth + 7) // 8) if wp and hp else 0
+
+    if interlace == 0:
+        expected = _pass_bytes(w, h)
+    else:
+        expected = sum(
+            _pass_bytes((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        )
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(b"".join(idat), expected),
+        dtype=np.uint8,
+    )
     sample_dtype = np.uint16 if depth == 16 else np.uint8
     if interlace == 0:
         px, _ = _decode_pass(raw, w, h, depth, ch)

@@ -284,6 +284,109 @@ def test_jpeg_oracle_query_matches(spark):
     assert (got["psnr_ge_40"].to_numpy() == want["psnr_ge_40"].to_numpy()).all()
 
 
+# --- codec robustness: fuzz + decompression-bomb guards ---------------------
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis: any uint8 image round-trips through 4:4:4 q98 with
+    shape/dtype preserved and PSNR >= 40 (the input_hint invariant)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 40), st.integers(1, 40), st.just(3)
+            ),
+        )
+    )
+    def check(px):
+        out = jpeg_decode(jpeg_encode(px, 98, "444"))
+        assert out.shape == px.shape and out.dtype == np.uint8
+        assert _psnr(px, out) >= 40.0
+
+    check()
+
+
+def test_jpeg_corrupt_streams_fail_cleanly():
+    """Deterministic byte-mutation fuzz: a corrupted stream either still
+    decodes to a correctly-shaped image (corruption in pixel data) or
+    raises ValueError/NotImplementedError — never another exception type,
+    a hang, or a wrong-shaped array. Segment-length zero (infinite-loop
+    hazard) and huge declared frames (decompression bomb) are covered
+    explicitly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(47)
+    px = rng.randint(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    good = jpeg_encode(px, 95)
+    for trial in range(60):
+        d = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            d[rng.randint(2, len(d) - 2)] = rng.randint(0, 256)
+        try:
+            out = jpeg_decode(bytes(d))
+            assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+    # zero segment length must raise, not loop forever
+    d = bytearray(good)
+    i = d.find(b"\xff\xdb")
+    d[i + 2 : i + 4] = struct.pack(">H", 0)
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(d))
+    # decompression bomb: SOF declaring 65535x65535
+    d = bytearray(good)
+    i = d.find(b"\xff\xc0")
+    d[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    with _pytest.raises(ValueError, match="pixel budget"):
+        jpeg_decode(bytes(d))
+
+
+def test_png_bomb_guard():
+    """A PNG whose IHDR declares a huge frame (or whose IDAT would inflate
+    far past the declared frame) fails fast with the budget error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from a5spark.kernels.png import _SIGNATURE, _chunk, png_decode, png_encode
+
+    rng = np.random.RandomState(53)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = bytearray(png_encode(px))
+    # IHDR is at offset 8 (len+tag) + 8 = byte 16; patch w,h
+    good[16:24] = struct.pack(">II", 1 << 16, 1 << 16)
+    # CRC now wrong but the decoder doesn't verify CRCs; the guard fires first
+    with _pytest.raises(ValueError, match="pixel budget"):
+        png_decode(bytes(good))
+    # inflate cap: a tiny zlib bomb (1 MB of zeros) against an 8x8 frame
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    data = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    # capped inflate yields exactly the expected bytes -> decodes as a
+    # zero image instead of materializing the 1 MB payload
+    out = png_decode(data)
+    assert out.shape == (8, 8, 3) and not out.any()
+
+
 # --- PNG 16-bit / Adam7 / sub-byte depths (round-7 codec completion) --------
 
 
