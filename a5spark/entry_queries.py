@@ -2263,6 +2263,63 @@ def oracle_image_png_stats():
     return oracle_image_stats().replace("% 75 = 0", "% 150 = 0")
 
 
+def q_image_decode_health(spark, sf_dir):
+    """Corrupt-row hygiene on the oracle board (round 7): a 1/75 sample of
+    the corpus is transcoded to real JPEG streams, and every row where
+    k % 150 == 0 is then REPLACED with a deterministically broken stream
+    (SOI + junk, no scan). decode_health must flag exactly those rows as
+    failed-with-ValueError and decode the rest — per-row failure
+    containment, the property that keeps one corrupt object from killing
+    a 100 TB ingest task. The oracle predicts the health column from the
+    key arithmetic alone."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType as _BinaryType
+
+    from a5spark.operators.multimodal import decode_health
+    from a5spark.sources.images import _gen_image_bytes
+
+    @F.pandas_udf(_BinaryType())
+    def to_jpeg_or_corrupt(
+        data: pd.Series, w: pd.Series, h: pd.Series, k: pd.Series
+    ) -> pd.Series:
+        import numpy as _np
+
+        from a5spark.kernels.jpeg import jpeg_encode
+
+        out = []
+        for d, wi, hi, ki in zip(data, w, h, k):
+            if int(ki) % 150 == 0:
+                out.append(b"\xff\xd8" + b"\x00corrupt\x00" * 3)
+            else:
+                px = _np.frombuffer(d, dtype=_np.uint8).reshape(
+                    int(hi), int(wi), 3
+                )
+                out.append(jpeg_encode(px, 98))
+        return pd.Series(out)
+
+    img = images_from_sf_dir(spark, sf_dir, with_bytes=False).filter(
+        F.col("k") % 75 == 0
+    )
+    img = img.withColumn(
+        "bytes", _gen_image_bytes(F.col("k"), F.col("w"), F.col("h"))
+    )
+    img = img.withColumn(
+        "bytes",
+        to_jpeg_or_corrupt(F.col("bytes"), F.col("w"), F.col("h"), F.col("k")),
+    ).withColumn("fmt", F.lit("jpeg"))
+    return decode_health(img).orderBy("image_id")
+
+
+def oracle_image_decode_health():
+    return """
+    SELECT printf('img_%012d', o_orderkey) AS image_id,
+           (o_orderkey % 150 <> 0) AS ok,
+           CASE WHEN o_orderkey % 150 = 0 THEN 'ValueError' END AS err_kind
+    FROM orders WHERE o_orderkey % 75 = 0
+    ORDER BY image_id
+    """
+
+
 def q_image_jpeg_psnr(spark, sf_dir):
     """Lossy-codec value gate (round 7): rgb8 payloads transcode through
     the dependency-free baseline JPEG codec (kernels/jpeg.py — SOF0,
@@ -3101,6 +3158,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_png_stats": q_image_png_stats,
     "image_jpeg_psnr": q_image_jpeg_psnr,
+    "image_decode_health": q_image_decode_health,
     "image_resize": q_image_resize,
     "image_checksums": q_image_checksums,
     "video_frames": q_video_frames,
@@ -3169,6 +3227,7 @@ ORACLES = {
     "image_stats": oracle_image_stats(),
     "image_png_stats": oracle_image_png_stats(),
     "image_jpeg_psnr": oracle_image_jpeg_psnr(),
+    "image_decode_health": oracle_image_decode_health(),
     "image_resize": oracle_image_resize(),
     "focal_smoothing": oracle_focal_smoothing(),
     "line_trace": oracle_line_trace(),

@@ -207,6 +207,43 @@ def transcode_psnr(
     )
 
 
+_HEALTH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("err_kind", StringType()),
+    ]
+)
+
+
+def decode_health(df: DataFrame) -> DataFrame:
+    """Per-row decode health for a mixed-quality corpus: attempt the full
+    decode and report (ok, error kind) instead of failing the task — at
+    100 TB a corrupt row is routine and must cost one flagged row, not a
+    task retry storm. Relies on the codecs' error contract (malformed →
+    ValueError, unsupported → NotImplementedError; nothing else escapes),
+    so any OTHER exception type still fails loudly — a genuine engine bug
+    must not be silently absorbed as 'corrupt input'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, wi, hi, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_image(bytes(data), int(wi), int(hi), fmt)
+                    ok = px.shape == (int(hi), int(wi), 3)
+                    rows.append((iid, ok, None if ok else "ShapeMismatch"))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((iid, False, type(e).__name__))
+            yield pd.DataFrame(rows, columns=[f.name for f in _HEALTH_SCHEMA])
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, _HEALTH_SCHEMA
+    )
+
+
 def image_moments(df: DataFrame) -> DataFrame:
     """Integer-exact per-image moments + perceptual hash over decoded pixels:
 
