@@ -46,6 +46,7 @@ AUDIT = [
     "polyfill_multipolygon",
     "image_png_stats",
     "image_jpeg_psnr",
+    "image_decode_health",
     "cover_export_wkt",
 ]
 
