@@ -1890,6 +1890,48 @@ def oracle_grid_disk():
 _SKEW_SNAPSHOT = "/tmp/a5spark_oracle/skewed_assign_r5"
 
 
+_STRAT_SNAPSHOT = "/tmp/a5spark_oracle/stratified_assign_r7"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Geo-stratified training-data downsampling (round 7): at most 8 rows
+    per res-4 cell, chosen by a deterministic per-row sample key — the
+    balancing step a geospatially skewed corpus needs before training (a
+    downtown cell contributes the same budget as an ocean cell). Runs the
+    salted two-phase sampler (operators/spatial.stratified_cell_sample —
+    hot cells never funnel through one shuffle partition); the assignment
+    is snapshot to parquet and DuckDB reproduces the exact sampled
+    MEMBERSHIP with a single ROW_NUMBER — per-row gate, not just counts."""
+    from a5spark.operators.spatial import assign_cells, stratified_cell_sample
+
+    img = assign_cells(images_from_sf_dir(spark, sf_dir), 4)
+    keyed = img.select(
+        "k",
+        "cell",
+        ((F.col("phash") % 999983) * 31 + F.col("k") % 101).alias("sample_key"),
+    )
+    keyed = _snapshot(keyed, _STRAT_SNAPSHOT)
+    out = stratified_cell_sample(keyed, cap_per_cell=8)
+    return out.select(
+        "cell", F.col("sample_rank").cast("long").alias("sample_rank"), "k"
+    ).orderBy("cell", "sample_rank")
+
+
+def oracle_stratified_sample():
+    return f"""
+    WITH ranked AS (
+      SELECT cell, k,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell ORDER BY sample_key, k
+             ) AS sample_rank
+      FROM read_parquet('{_STRAT_SNAPSHOT}/*.parquet')
+    )
+    SELECT cell, CAST(sample_rank AS BIGINT) AS sample_rank, k
+    FROM ranked WHERE sample_rank <= 8
+    ORDER BY cell, sample_rank
+    """
+
+
 def q_skewed_density(spark, sf_dir):
     """Zipfian-hot-cell density through the SALTED two-phase aggregation
     (operators/spatial.salted_density): half of all rows are forced onto one
@@ -3152,6 +3194,7 @@ QUERIES = {
     "line_trace": q_line_trace,
     "grid_disk": q_grid_disk,
     "skewed_density": q_skewed_density,
+    "stratified_sample": q_stratified_sample,
     "focal_smoothing": q_focal_smoothing,
     "hot_region_vectorize": q_hot_region_vectorize,
     "s2_crossindex": q_s2_crossindex,
@@ -3178,6 +3221,7 @@ QUERIES = {
 # _snapshot/_oracle_export)
 SNAPSHOT_QUERIES = (
     "cell_density_r7",
+    "stratified_sample",
     "multires_rollup",
     "pip_join",
     "grid_disk",
@@ -3234,6 +3278,7 @@ ORACLES = {
     "pip_join": oracle_pip_join(),
     "grid_disk": oracle_grid_disk(),
     "skewed_density": oracle_skewed_density(),
+    "stratified_sample": oracle_stratified_sample(),
     "hot_region_vectorize": oracle_hot_region_vectorize(),
     "radius_join": oracle_radius_join(),
     "knn_images": oracle_knn_images(),

@@ -308,3 +308,48 @@ def salted_density(
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
     partial = salted.groupBy(cell, "__salt").agg(F.count(F.lit(1)).alias("pn"))
     return partial.groupBy(cell).agg(F.sum("pn").alias("n"))
+
+
+def stratified_cell_sample(
+    df: DataFrame,
+    cap_per_cell: int,
+    cell: str = "cell",
+    order_col: str = "sample_key",
+    row_key: str = "k",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Geo-stratified downsampling for training-data balancing: keep at
+    most `cap_per_cell` rows per cell, chosen by the DETERMINISTIC
+    (`order_col`, `row_key`) order — so a downtown hot cell contributes
+    the same row budget as an ocean cell, and the sample is reproducible
+    across engines and runs (no rand()).
+
+    Scale shape (the 100 TB concern is the hot cell): a single window over
+    cell would funnel a Zipfian cell's entire population through one
+    shuffle partition. Phase 1 therefore ranks within (cell, salt) —
+    `salt_buckets` deterministic buckets split the hot key, each keeping
+    at most cap rows (a superset of the answer, since the global top-cap
+    per cell is contained in the union of per-bucket top-caps). Phase 2
+    ranks the <= salt_buckets*cap survivors per cell exactly. Same salted
+    two-phase pattern as `salted_density`; output carries `sample_rank`
+    (1..cap, dense in the final order).
+
+    Engine note (PLANS.md): Spark >= 3.5 additionally applies
+    WindowGroupLimit to BOTH window stages — each map partition pre-caps
+    its contribution to `cap` rows per key before the shuffle — so even
+    the plain single-window form bounds hot-key shuffle volume to
+    n_map_partitions x cap on modern Spark. The salt phase keeps the
+    bound engine-independent and caps per-task sort memory as well."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(row_key)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(cell), salt).orderBy(order_col, row_key)
+    pre = (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= cap_per_cell)
+        .drop("__rk1")
+    )
+    w2 = Window.partitionBy(cell).orderBy(order_col, row_key)
+    return pre.withColumn("sample_rank", F.row_number().over(w2)).filter(
+        F.col("sample_rank") <= cap_per_cell
+    )

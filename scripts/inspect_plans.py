@@ -38,6 +38,7 @@ AUDIT = [
     "image_resize",
     "grid_disk",
     "skewed_density",
+    "stratified_sample",
     "crossmodal_neardup",
     "doc_quality",
     "cell_layout_scan",

@@ -473,6 +473,42 @@ def test_png_pillow_crosscheck_extended():
     assert np.array_equal(pil, png_decode(data))
 
 
+# --- stratified cell sampling (training-data balancing) ---------------------
+
+
+def test_stratified_sample_hot_cell_capped_and_exact(spark):
+    """The salted two-phase sampler returns EXACTLY the single-window
+    answer (same membership and ranks) and caps a forced Zipfian hot cell
+    at cap_per_cell — the geo-balancing property."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from a5spark.operators.spatial import assign_cells, stratified_cell_sample
+    from a5spark.sources.images import images_from_sf_dir
+
+    img = assign_cells(images_from_sf_dir(spark, SF_DIR), 4)
+    hot = img.agg(F.min("cell")).collect()[0][0]
+    skewed = img.select(
+        "k",
+        F.when(F.col("k") % 2 == 0, F.lit(hot)).otherwise(F.col("cell")).alias(
+            "cell"
+        ),
+        ((F.col("phash") % 999983) * 31 + F.col("k") % 101).alias("sample_key"),
+    )
+    got = stratified_cell_sample(skewed, cap_per_cell=5).select(
+        "cell", "sample_rank", "k"
+    )
+    w = Window.partitionBy("cell").orderBy("sample_key", "k")
+    want = (
+        skewed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("cell", "sample_rank", "k")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    hot_n = got.filter(F.col("cell") == hot).count()
+    assert hot_n == 5  # half the corpus was forced onto this cell
+
+
 # --- jpeg corpus end-to-end through the image operator stack ----------------
 
 
