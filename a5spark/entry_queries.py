@@ -2824,6 +2824,18 @@ _LAYOUT_COVER = [
 ]
 
 
+def _materialize_layout(spark, sf_dir):
+    """The single definition of the oracle board's cell layout (res-9
+    lineitem assignment, 32 files at _LAYOUT_PATH) — q_cell_layout_scan
+    always (re)writes it; q_iceberg_export reuses or rebuilds THROUGH THIS
+    so a definition change can never diverge the two queries."""
+    from a5spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = _spark_cell9(li).select("cell", "l_quantity")
+    layout.write_cell_layout(df, _LAYOUT_PATH, cell="cell", n_files=32)
+
+
 def q_cell_layout_scan(spark, sf_dir):
     """Cell-clustered layout round-trip: write the res-9 assignment table
     range-partitioned + sorted by the unsigned-order shifted cell key
@@ -2841,9 +2853,7 @@ def q_cell_layout_scan(spark, sf_dir):
     asserted in tests/test_round5.py and recorded in BASELINE.md."""
     from a5spark.operators import layout
 
-    li = _t(spark, sf_dir, "lineitem")
-    df = _spark_cell9(li).select("cell", "l_quantity")
-    layout.write_cell_layout(df, _LAYOUT_PATH, cell="cell", n_files=32)
+    _materialize_layout(spark, sf_dir)
     scanned, _stats = layout.scan_cell_layout(spark, _LAYOUT_PATH, _LAYOUT_COVER)
     return (
         scanned.groupBy(native.cell_to_parent(F.col("cell"), 4).alias("parent_cell"))
@@ -2894,9 +2904,7 @@ def q_iceberg_export(spark, sf_dir):
     try:
         layout.read_manifest(spark, _LAYOUT_PATH)
     except Exception:
-        li = _t(spark, sf_dir, "lineitem")
-        df = _spark_cell9(li).select("cell", "l_quantity")
-        layout.write_cell_layout(df, _LAYOUT_PATH, cell="cell", n_files=32)
+        _materialize_layout(spark, sf_dir)
     layout_to_iceberg_metadata(spark, _LAYOUT_PATH)
     rebuilt = iceberg_metadata_to_layout_manifest(f"{_LAYOUT_PATH}/_iceberg")
     rows = [

@@ -570,7 +570,9 @@ def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     struct.error from the parser's internals."""
     try:
         return _jpeg_decode_impl(bytes(data), max_pixels)
-    except (KeyError, IndexError, StopIteration, struct.error) as e:
+    except (KeyError, IndexError, StopIteration, struct.error, OverflowError) as e:
+        # OverflowError: a corrupt DHT can define magnitude categories far
+        # past T.81's caps, accumulating a DC predictor outside int32
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -742,6 +744,8 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
     def _decode_block(reader, dc, ac, out, bi, si, pred):
         blk = np.zeros(64, dtype=np.int32)
         s = reader.decode(dc)
+        if s > 11:  # T.81 F.1.2.1: 8-bit DC magnitude category caps at 11
+            raise ValueError(f"JPEG DC magnitude category {s} out of range")
         diff = _extend(reader.receive(s), s)
         pred[si] += diff
         blk[0] = pred[si]

@@ -227,10 +227,16 @@ def _png_decode_impl(data: bytes, max_pixels: int) -> np.ndarray:
             _pass_bytes((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
             for x0, y0, dx, dy in _ADAM7
         )
-    raw = np.frombuffer(
-        zlib.decompressobj().decompress(b"".join(idat), expected),
-        dtype=np.uint8,
-    )
+    dobj = zlib.decompressobj()
+    raw_bytes = dobj.decompress(b"".join(idat), expected)
+    # the cap bounds memory; completeness still matters — an IDAT that
+    # would inflate PAST the declared frame is corruption (or a bomb) and
+    # must flag, not silently truncate into plausible garbage pixels
+    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+        raise ValueError(
+            "PNG pixel data exceeds the declared frame size"
+        )
+    raw = np.frombuffer(raw_bytes, dtype=np.uint8)
     sample_dtype = np.uint16 if depth == 16 else np.uint8
     if interlace == 0:
         px, _ = _decode_pass(raw, w, h, depth, ch)

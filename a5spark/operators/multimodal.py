@@ -231,6 +231,11 @@ def decode_health(df: DataFrame) -> DataFrame:
             for iid, data, wi, hi, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
+                if data is None or fmt is None or wi is None or hi is None:
+                    # NULL payload/metadata is bad INPUT (routine at ingest
+                    # scale), not an engine bug — contain it per row too
+                    rows.append((iid, False, "NullInput"))
+                    continue
                 try:
                     px = decode_image(bytes(data), int(wi), int(hi), fmt)
                     ok = px.shape == (int(hi), int(wi), 3)
