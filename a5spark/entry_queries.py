@@ -1623,11 +1623,16 @@ def q_knn_images(spark, sf_dir):
     # one index-cell radius to every round, so the index granularity must
     # track point density — a fixed res over-admits quadratically as the
     # corpus grows (res 7 was right for 150k rows but ~13x over-provisioned
-    # at 15M; see pick_index_resolution and BASELINE.md sf10). The count is
-    # one metadata-cheap job; the oracle is brute-force haversine, so the
-    # index choice can never change results.
+    # at 15M; see pick_index_resolution and BASELINE.md sf10). The count
+    # comes from parquet footer metadata like q_bucketed_join's
+    # (manifest-style, no scan job); the count() fallback only fires for
+    # non-local sf dirs. The oracle is brute-force haversine, so the index
+    # choice can never change results.
+    from a5spark.sources.images import images_count_hint
+
     base = images_from_sf_dir(spark, sf_dir)
-    n_pts = base.count()
+    n_hint = images_count_hint(sf_dir)
+    n_pts = n_hint if n_hint is not None else base.count()
     res = pick_index_resolution(n_pts, 5)
     img = cache.persist(assign_cells(base, res))
     queries = img.filter(F.col("k") % 200 == 0).select(
@@ -2960,18 +2965,40 @@ def q_bucketed_join(spark, sf_dir):
     # fallback only fires for non-local sf dirs.
     from a5spark.sources.images import images_count_hint
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from a5spark import cache
+
     base = images_from_sf_dir(spark, sf_dir)
     n_hint = images_count_hint(sf_dir)
     res = pick_join_resolution(n_hint if n_hint is not None else base.count())
-    img = assign_cells(base, res)
+    # encode ONCE: both feed writes project from the same persisted
+    # assignment (unpersisted, each bucketed write re-ran the full Arrow
+    # encode pass — two scans+encodes for one), materialized eagerly so the
+    # concurrent writes below read only from cache
+    img = cache.persist(
+        assign_cells(base, res).select("cell", "image_id", "w", "k")
+    )
+    img.count()
     feed_a = img.filter(F.col("k") % 2 == 0).select(
         "cell", F.col("image_id").alias("a_id"), F.col("w").alias("a_w")
     )
     feed_b = img.filter(F.col("k") % 2 == 1).select(
         "cell", F.col("image_id").alias("b_id"), F.col("w").alias("b_w")
     )
-    write_bucketed_table(feed_a, "a5_bucketed_a", n_buckets=16, path=_BUCKETED_A)
-    write_bucketed_table(feed_b, "a5_bucketed_b", n_buckets=16, path=_BUCKETED_B)
+    # the two independent bucketed writes overlap (guide §2.6): the second
+    # job's tasks back-fill executor slots freed by the first job's tail
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            write_bucketed_table, feed_a, "a5_bucketed_a",
+            n_buckets=16, path=_BUCKETED_A,
+        )
+        fb = pool.submit(
+            write_bucketed_table, feed_b, "a5_bucketed_b",
+            n_buckets=16, path=_BUCKETED_B,
+        )
+        fa.result()
+        fb.result()
     conf_key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "-1")

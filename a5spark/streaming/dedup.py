@@ -64,25 +64,34 @@ def _make_dedup_fn(ttl_ms: int | None = None):
             state.remove()
             return iter([])
         digest = int(key[0])
-        rows = pd.concat(list(pdfs)).sort_values("doc_id")
-        ids = rows["doc_id"].astype("int64")
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        import numpy as np
+
+        ids = rows["doc_id"].to_numpy(dtype=np.int64)
         if state.exists:
             canon, n = state.get
         else:
-            canon, n = int(ids.iloc[0]), 0
+            # first-seen canonical == min(doc_id) of the arrival batch —
+            # order-independent, so the historic sort_values pass (a pure
+            # per-key Python cost at scale) is unnecessary
+            canon = int(ids.min())
+            n = 0
         n += len(ids)
         state.update((int(canon), int(n)))
         if ttl_ms is not None:
-            # NaT (NULL event time) must not poison the max: astype(int64)
-            # turns NaT into -2^63, which would arm a hugely negative
-            # timeout and crash the micro-batch. Rows that are all-NULL on
-            # ts fall back to the current watermark.
-            ts = rows["ts"].dropna()
-            last_ms = (
-                int(ts.astype("int64").max()) // 1_000_000
-                if len(ts)
-                else state.getCurrentWatermarkMs()
-            )
+            # NaT (NULL event time) must not poison the max: the int64 view
+            # of NaT is -2^63, which would arm a hugely negative timeout and
+            # crash the micro-batch. Rows that are all-NULL on ts fall back
+            # to the current watermark.
+            ts = rows["ts"]
+            notna = ts.notna()
+            if bool(notna.any()):
+                last_ms = (
+                    int(ts[notna].to_numpy().view("int64").max()) // 1_000_000
+                )
+            else:
+                last_ms = state.getCurrentWatermarkMs()
             # setTimeoutTimestamp raises (killing the whole stream) for a
             # timestamp at or below the current watermark — reachable when
             # a row within allowed lateness arrives more than ttl behind
@@ -96,12 +105,16 @@ def _make_dedup_fn(ttl_ms: int | None = None):
             [
                 pd.DataFrame(
                     {
-                        "digest": pd.Series([digest] * len(ids), dtype="int64"),
-                        "doc_id": ids.to_numpy(),
-                        "canonical_id": pd.Series(
-                            [canon] * len(ids), dtype="int64"
+                        "digest": pd.Series(
+                            np.full(len(ids), digest), dtype="int64"
                         ),
-                        "is_dup": (ids.to_numpy() != canon).astype("int32"),
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "canonical_id": pd.Series(
+                            np.full(len(ids), canon), dtype="int64"
+                        ),
+                        "is_dup": pd.Series(
+                            (ids != canon).astype(np.int32), dtype="int32"
+                        ),
                     }
                 )
             ]
