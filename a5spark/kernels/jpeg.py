@@ -239,6 +239,156 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for non-negative int64 < 2^53 (JPEG magnitudes
+    cap at 11 bits): frexp's exponent IS the bit length, exactly."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def _scan_symbols_vec(comp_zz, scan_order):
+    """Vectorized pass 1 for one scan WITHOUT restart markers: the exact
+    (symbol, appended-bits) stream `_block_symbols` produces block by block,
+    computed over the whole scan at once. Returns (sym, tsel, is_dc,
+    extra_val, extra_len) parallel arrays in emission order — byte-identity
+    with the per-block reference is pinned by
+    tests/test_round8.py::test_jpeg_encode_matches_reference_bytes."""
+    B = len(scan_order)
+    order_ci = np.fromiter((c for c, _ in scan_order), np.int64, B)
+    order_bi = np.fromiter((b for _, b in scan_order), np.int64, B)
+    zz = np.empty((B, 64), dtype=np.int64)
+    for ci in np.unique(order_ci):
+        m = order_ci == ci
+        zz[m] = comp_zz[ci][order_bi[m]]
+
+    # DC: DPCM per component along its scan subsequence
+    dc = zz[:, 0]
+    diff = np.empty(B, dtype=np.int64)
+    for ci in np.unique(order_ci):
+        idx = np.flatnonzero(order_ci == ci)
+        d = dc[idx]
+        diff[idx] = d - np.concatenate(([0], d[:-1]))
+    s_dc = _bitlen(np.abs(diff))
+    bits_dc = np.where(diff >= 0, diff, diff + (np.int64(1) << s_dc) - 1)
+
+    # AC: run-length over the zigzag tail, ZRL for runs >= 16, EOB unless
+    # the block's last nonzero sits at position 62
+    ac = zz[:, 1:]
+    rows, cols = np.nonzero(ac)
+    vals = ac[rows, cols]
+    n_nz = len(rows)
+    if n_nz:
+        first = np.empty(n_nz, dtype=bool)
+        first[0] = True
+        first[1:] = rows[1:] != rows[:-1]
+        prev = np.empty(n_nz, dtype=np.int64)
+        prev[1:] = cols[:-1]
+        prev[first] = -1
+        run = cols - prev - 1
+        n_zrl = run >> 4
+        rem = run & 15
+        s_ac = _bitlen(np.abs(vals))
+        sym_ac = (rem << 4) | s_ac
+        bits_ac = np.where(vals >= 0, vals, vals + (np.int64(1) << s_ac) - 1)
+        is_last = np.empty(n_nz, dtype=bool)
+        is_last[-1] = True
+        is_last[:-1] = rows[1:] != rows[:-1]
+        last_col = np.full(B, -1, dtype=np.int64)
+        last_col[rows[is_last]] = cols[is_last]
+        w = n_zrl + 1
+        per_block_w = np.bincount(rows, weights=w, minlength=B).astype(np.int64)
+    else:
+        last_col = np.full(B, -1, dtype=np.int64)
+        per_block_w = np.zeros(B, dtype=np.int64)
+    has_eob = (last_col != 62).astype(np.int64)
+
+    tot_block = 1 + per_block_w + has_eob
+    block_start = np.concatenate(([0], np.cumsum(tot_block[:-1])))
+    N = int(tot_block.sum())
+    sym = np.zeros(N, dtype=np.int64)  # unfilled slots ARE the EOBs (0x00)
+    extra_val = np.zeros(N, dtype=np.int64)
+    extra_len = np.zeros(N, dtype=np.int64)
+    is_dc = np.zeros(N, dtype=bool)
+
+    sym[block_start] = s_dc
+    extra_val[block_start] = bits_dc
+    extra_len[block_start] = s_dc
+    is_dc[block_start] = True
+
+    if n_nz:
+        cw = np.cumsum(w)
+        first_idx = np.flatnonzero(first)
+        base = cw[first_idx] - w[first_idx]
+        row_base = np.repeat(
+            base, np.diff(np.concatenate((first_idx, [n_nz])))
+        )
+        off = block_start[rows] + 1 + (cw - w - row_base)
+        acpos = off + n_zrl
+        sym[acpos] = sym_ac
+        extra_val[acpos] = bits_ac
+        extra_len[acpos] = s_ac
+        tz = int(n_zrl.sum())
+        if tz:
+            zi = np.flatnonzero(n_zrl > 0)
+            counts = n_zrl[zi]
+            rep = np.repeat(np.arange(len(zi)), counts)
+            intra = np.arange(tz) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            sym[off[zi][rep] + intra] = 0xF0
+
+    tsel = np.repeat(np.where(order_ci == 0, 0, 1), tot_block)
+    return sym, tsel, is_dc, extra_val, extra_len
+
+
+def _codes_to_arrays(codes: dict) -> tuple[np.ndarray, np.ndarray]:
+    carr = np.zeros(257, dtype=np.int64)
+    larr = np.zeros(257, dtype=np.int64)
+    for s, (c, ln) in codes.items():
+        carr[s] = c
+        larr[s] = ln
+    return carr, larr
+
+
+def _pack_scan_vec(parts, dc_codes, ac_codes) -> bytes:
+    """Vectorized pass 2 for one scan WITHOUT restart markers: expand the
+    (huffman code, appended bits) pairs to a bit array, np.packbits
+    (MSB-first, the JPEG order), pad with 1s to a byte boundary and stuff
+    0x00 after every 0xFF — bit/byte-identical to _BitWriter."""
+    sym, tsel, is_dc, extra_val, extra_len = parts
+    n = len(sym)
+    huff_code = np.zeros(n, dtype=np.int64)
+    huff_len = np.zeros(n, dtype=np.int64)
+    for t in (0, 1):
+        for cls, codes in ((0, dc_codes[t]), (1, ac_codes[t])):
+            m = (tsel == t) & (is_dc == (cls == 0))
+            if not m.any():
+                continue
+            carr, larr = _codes_to_arrays(codes)
+            huff_code[m] = carr[sym[m]]
+            huff_len[m] = larr[sym[m]]
+    codes2 = np.empty(2 * n, dtype=np.int64)
+    lens2 = np.empty(2 * n, dtype=np.int64)
+    codes2[0::2] = huff_code
+    codes2[1::2] = extra_val
+    lens2[0::2] = huff_len
+    lens2[1::2] = extra_len
+    total = int(lens2.sum())
+    pad = (-total) % 8
+    if pad:
+        codes2 = np.append(codes2, (1 << pad) - 1)
+        lens2 = np.append(lens2, pad)
+        total += pad
+    elems = np.repeat(np.arange(len(codes2)), lens2)
+    starts = np.cumsum(lens2) - lens2
+    j = np.arange(total) - np.repeat(starts, lens2)
+    bits = ((codes2[elems] >> (lens2[elems] - 1 - j)) & 1).astype(np.uint8)
+    packed = np.packbits(bits)
+    stuff = np.flatnonzero(packed == 0xFF)
+    if len(stuff):
+        packed = np.insert(packed, stuff + 1, 0)
+    return packed.tobytes()
+
+
 def _block_symbols(zz: np.ndarray, prev_dc: int):
     """One zigzagged block -> (dc_sym, dc_bits, [(ac_sym, ac_bits, ac_len)],
     new_prev_dc)."""
@@ -267,6 +417,7 @@ def jpeg_encode(
     subsampling: str = "444",
     restart_interval: int = 0,
     interleave: bool = True,
+    _force_reference: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale with subsampling='gray')
     -> baseline JFIF JPEG bytes. A non-zero `restart_interval` emits
@@ -363,30 +514,49 @@ def jpeg_encode(
             )
 
     # pass 1: symbol stream + frequencies (DC prediction resets at every
-    # restart boundary and at every scan start, matching the decoder)
+    # restart boundary and at every scan start, matching the decoder).
+    # Restart-free scans (the hot path) run the fully vectorized pass;
+    # restart layouts keep the per-block reference walk — the two produce
+    # byte-identical streams (pinned by test_round8).
     blocks_per_mcu = sum(hh * vv for hh, vv in sampling)
     dc_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
     ac_freq = [np.zeros(257, dtype=np.int64), np.zeros(257, dtype=np.int64)]
-    streams = []
-    for scan_order in scan_orders:
-        prev_dc = [0, 0, 0]
-        stream = []
-        for idx, (ci, bi) in enumerate(scan_order):
-            if (
-                restart_interval
-                and idx % blocks_per_mcu == 0
-                and idx
-                and (idx // blocks_per_mcu) % restart_interval == 0
-            ):
-                prev_dc = [0, 0, 0]
-            t = 0 if ci == 0 else 1
-            s, bits, acs, prev = _block_symbols(comp_zz[ci][bi], prev_dc[ci])
-            prev_dc[ci] = prev
-            dc_freq[t][s] += 1
-            for sym, _, _ in acs:
-                ac_freq[t][sym] += 1
-            stream.append((t, s, bits, acs))
-        streams.append(stream)
+    use_vec = not restart_interval and not _force_reference
+    if use_vec:
+        scan_parts = [
+            _scan_symbols_vec(comp_zz, scan_order)
+            for scan_order in scan_orders
+        ]
+        for sym, tsel, is_dc, _, _ in scan_parts:
+            for t in (0, 1):
+                dc_freq[t] += np.bincount(
+                    sym[is_dc & (tsel == t)], minlength=257
+                )
+                ac_freq[t] += np.bincount(
+                    sym[~is_dc & (tsel == t)], minlength=257
+                )
+        streams = None
+    else:
+        streams = []
+        for scan_order in scan_orders:
+            prev_dc = [0, 0, 0]
+            stream = []
+            for idx, (ci, bi) in enumerate(scan_order):
+                if (
+                    restart_interval
+                    and idx % blocks_per_mcu == 0
+                    and idx
+                    and (idx // blocks_per_mcu) % restart_interval == 0
+                ):
+                    prev_dc = [0, 0, 0]
+                t = 0 if ci == 0 else 1
+                s, bits, acs, prev = _block_symbols(comp_zz[ci][bi], prev_dc[ci])
+                prev_dc[ci] = prev
+                dc_freq[t][s] += 1
+                for sym, _, _ in acs:
+                    ac_freq[t][sym] += 1
+                stream.append((t, s, bits, acs))
+            streams.append(stream)
 
     dc_tables = [_build_optimal_code(f[:256]) for f in dc_freq]
     ac_tables = [_build_optimal_code(f[:256]) for f in ac_freq]
@@ -395,32 +565,37 @@ def jpeg_encode(
 
     # pass 2: one entropy-coded segment per scan (flush + RSTn at restart
     # boundaries within the interleaved scan)
-    scan_ecs = []
-    for stream in streams:
-        parts = []
-        bw = _BitWriter()
-        for idx, (t, s, bits, acs) in enumerate(stream):
-            if (
-                restart_interval
-                and idx % blocks_per_mcu == 0
-                and idx
-                and (idx // blocks_per_mcu) % restart_interval == 0
-            ):
-                parts.append(bw.flush())
-                rst = (idx // blocks_per_mcu) // restart_interval - 1
-                parts.append(struct.pack(">H", 0xFFD0 + (rst % 8)))
-                bw = _BitWriter()
-            code, ln = dc_codes[t][s]
-            bw.put(code, ln)
-            if s:
-                bw.put(bits, s)
-            for sym, abits, asize in acs:
-                code, ln = ac_codes[t][sym]
+    if use_vec:
+        scan_ecs = [
+            _pack_scan_vec(parts, dc_codes, ac_codes) for parts in scan_parts
+        ]
+    else:
+        scan_ecs = []
+        for stream in streams:
+            parts = []
+            bw = _BitWriter()
+            for idx, (t, s, bits, acs) in enumerate(stream):
+                if (
+                    restart_interval
+                    and idx % blocks_per_mcu == 0
+                    and idx
+                    and (idx // blocks_per_mcu) % restart_interval == 0
+                ):
+                    parts.append(bw.flush())
+                    rst = (idx // blocks_per_mcu) // restart_interval - 1
+                    parts.append(struct.pack(">H", 0xFFD0 + (rst % 8)))
+                    bw = _BitWriter()
+                code, ln = dc_codes[t][s]
                 bw.put(code, ln)
-                if asize:
-                    bw.put(abits, asize)
-        parts.append(bw.flush())
-        scan_ecs.append(b"".join(parts))
+                if s:
+                    bw.put(bits, s)
+                for sym, abits, asize in acs:
+                    code, ln = ac_codes[t][sym]
+                    bw.put(code, ln)
+                    if asize:
+                        bw.put(abits, asize)
+            parts.append(bw.flush())
+            scan_ecs.append(b"".join(parts))
 
     # headers
     def seg(marker: int, body: bytes) -> bytes:
@@ -507,51 +682,14 @@ def _huff_table(bits: list[int], vals: bytes) -> _HuffTable:
     key = bytes(bits) + b"|" + bytes(vals)
     t = _HUFF_CACHE.get(key)
     if t is None:
-        if len(_HUFF_CACHE) > 64:  # bound the cache across a long worker life
-            _HUFF_CACHE.clear()
+        while len(_HUFF_CACHE) > 64:  # bound the cache across a long worker
+            # FIFO eviction of the oldest entry (dict preserves insertion
+            # order) — a full clear() dropped hot entries too, re-paying
+            # every table build right after the bound tripped
+            _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
         t = _HuffTable(bits, vals)
         _HUFF_CACHE[key] = t
     return t
-
-
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def decode(self, table: _HuffTable) -> int:
-        self._fill(16)
-        window = (self.acc >> (self.nbits - 16)) & 0xFFFF
-        li = table.lut_len[window]
-        if li == 0:
-            raise ValueError("invalid JPEG Huffman code")
-        self.nbits -= li
-        self.acc &= (1 << self.nbits) - 1
-        return table.lut_sym[window]
-
-
-def _extend(v: int, s: int) -> int:
-    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
 def jpeg_decode(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
@@ -741,33 +879,27 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
     else:
         segments = [ecs.replace(b"\xff\x00", b"\xff")]
 
-    def _decode_block(reader, dc, ac, out, bi, si, pred):
-        blk = np.zeros(64, dtype=np.int32)
-        s = reader.decode(dc)
-        if s > 11:  # T.81 F.1.2.1: 8-bit DC magnitude category caps at 11
-            raise ValueError(f"JPEG DC magnitude category {s} out of range")
-        diff = _extend(reader.receive(s), s)
-        pred[si] += diff
-        blk[0] = pred[si]
-        k = 1
-        while k < 64:
-            rs = reader.decode(ac)
-            r, size = rs >> 4, rs & 0x0F
-            if size == 0:
-                if r == 15:
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("JPEG AC run past block end")
-            blk[k] = _extend(reader.receive(size), size)
-            k += 1
-        out[bi] = blk
-
+    # unit plan: every (si, block index) in scan order, once — the entropy
+    # loop below is the decode hot path, so the bit-reader state lives in
+    # plain locals and decoded coefficients buffer into Python lists that
+    # bulk-assign per component at the end (optimization round 8; ~3x over
+    # the per-block method-call form, same error contract — the int32
+    # bounds check reproduces the historic OverflowError on a corrupt DHT
+    # blowing the DC predictor out of range)
     interleaved = len(scan) > 1
     if interleaved:
         n_units = mcus_x * mcus_y
+        plan = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for si, (c, _, _) in enumerate(scan):
+                    bw_c = mcus_x * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            plan.append(
+                                (si, (my * c["v"] + by) * bw_c + mx * c["h"] + bx)
+                            )
+        blocks_per_unit = len(plan) // n_units
     else:
         # non-interleaved: the component's OWN block grid, raster order
         c0 = scan[0][0]
@@ -776,32 +908,119 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
         ni_bw = -(-cw // 8)
         ni_bh = -(-chh // 8)
         n_units = ni_bw * ni_bh
+        stride = mcus_x * c0["h"]  # frame-padded row stride
+        plan = [
+            (0, by * stride + bx) for by in range(ni_bh) for bx in range(ni_bw)
+        ]
+        blocks_per_unit = 1
 
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    pred = [0] * len(scan)
-    for m in range(n_units):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            pred = [0] * len(scan)
-        if interleaved:
-            my, mx = divmod(m, mcus_x)
-            for si, (c, td, ta) in enumerate(scan):
-                dc = htables[(0, td)]
-                ac = htables[(1, ta)]
-                bw_c = mcus_x * c["h"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        bi = (my * c["v"] + by) * bw_c + mx * c["h"] + bx
-                        _decode_block(reader, dc, ac, store[si], bi, si, pred)
-        else:
-            c, td, ta = scan[0]
-            by, bx = divmod(m, ni_bw)
-            bi = by * (mcus_x * c["h"]) + bx  # frame-padded row stride
-            _decode_block(
-                reader, htables[(0, td)], htables[(1, ta)], store[0], bi, 0, pred
-            )
+    luts = []
+    for _, td, ta in scan:
+        dc_t = htables[(0, td)]
+        ac_t = htables[(1, ta)]
+        luts.append((dc_t.lut_sym, dc_t.lut_len, ac_t.lut_sym, ac_t.lut_len))
+
+    idx_out = [[] for _ in scan]
+    val_out = [[] for _ in scan]
+    seg_bound = restart_interval * blocks_per_unit if restart_interval else 0
+    n_seg_needed = (
+        (len(plan) + seg_bound - 1) // seg_bound if seg_bound else 1
+    )
+    if len(segments) < n_seg_needed:
+        # the historic per-unit reader hit IndexError on segments[] here
+        raise ValueError(
+            "JPEG entropy data ends before every MCU (missing restart segment)"
+        )
+    for seg_idx, seg in enumerate(segments):
+        data_s = seg
+        ns = len(data_s)
+        acc = 0
+        nbits = 0
+        posn = 0
+        pred = [0] * len(scan)
+        lo = seg_idx * seg_bound if seg_bound else 0
+        hi = min(lo + seg_bound, len(plan)) if seg_bound else len(plan)
+        for si, bi in plan[lo:hi]:
+            dc_sym, dc_len, ac_sym, ac_len = luts[si]
+            il = idx_out[si]
+            vl = val_out[si]
+            base = bi << 6
+            # DC
+            while nbits < 16:
+                acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
+                posn += 1
+                nbits += 8
+            window = (acc >> (nbits - 16)) & 0xFFFF
+            li = dc_len[window]
+            if li == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            nbits -= li
+            acc &= (1 << nbits) - 1
+            s = dc_sym[window]
+            if s > 11:  # T.81 F.1.2.1: 8-bit DC magnitude cap
+                raise ValueError(
+                    f"JPEG DC magnitude category {s} out of range"
+                )
+            if s:
+                while nbits < s:
+                    acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
+                    posn += 1
+                    nbits += 8
+                nbits -= s
+                v = (acc >> nbits) & ((1 << s) - 1)
+                acc &= (1 << nbits) - 1
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                pred[si] += v
+            p = pred[si]
+            if p:
+                il.append(base)
+                vl.append(p)
+            # AC
+            k = 1
+            while k < 64:
+                while nbits < 16:
+                    acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
+                    posn += 1
+                    nbits += 8
+                window = (acc >> (nbits - 16)) & 0xFFFF
+                li = ac_len[window]
+                if li == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                nbits -= li
+                acc &= (1 << nbits) - 1
+                rs = ac_sym[window]
+                size = rs & 0x0F
+                if size == 0:
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                while nbits < size:
+                    acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
+                    posn += 1
+                    nbits += 8
+                nbits -= size
+                v = (acc >> nbits) & ((1 << size) - 1)
+                acc &= (1 << nbits) - 1
+                if v < (1 << (size - 1)):
+                    v += 1 - (1 << size)
+                il.append(base + k)
+                vl.append(v)
+                k += 1
+
+    for si in range(len(scan)):
+        if not idx_out[si]:
+            continue
+        vals64 = np.asarray(val_out[si], dtype=np.int64)
+        if vals64.max() > 2147483647 or vals64.min() < -2147483648:
+            raise OverflowError("JPEG DC predictor outside int32 range")
+        store[si].reshape(-1)[np.asarray(idx_out[si], dtype=np.int64)] = (
+            vals64.astype(np.int32)
+        )
 
 
 def _assemble(coeff, comps, h, w, qtables):

@@ -270,3 +270,39 @@ def test_dedup_fn_matches_reference():
             pd.testing.assert_frame_equal(g, w)
             assert st_f._v == st_r._v
             assert st_f.timeout_set == st_r.timeout_set
+
+
+# --- JPEG vectorized entropy coder vs the per-block reference ----------------
+
+
+def test_jpeg_encode_matches_reference_bytes():
+    """The vectorized pass-1/pass-2 entropy coder must produce BYTE-identical
+    streams to the retained per-block walk (_force_reference routes through
+    _block_symbols + _BitWriter — the pre-round-8 implementation, still live
+    for restart-marker layouts)."""
+    from a5spark.kernels.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(88)
+    for h, w in [(8, 8), (17, 23), (32, 32), (40, 64), (64, 88)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("444", "422", "420", "gray"):
+            for interleave in (True, False):
+                for q in (98, 75, 40):
+                    a = jpeg_encode(px, q, sub, interleave=interleave)
+                    b = jpeg_encode(
+                        px, q, sub, interleave=interleave,
+                        _force_reference=True,
+                    )
+                    assert a == b, (h, w, sub, interleave, q)
+    # smooth gradient (long zero runs -> ZRL/EOB-heavy stream) + flat image
+    yy, xx = np.mgrid[0:48, 0:56]
+    smooth = np.stack([yy * 3 % 256, xx * 2 % 256, (yy + xx) % 256], axis=-1)
+    smooth = smooth.astype(np.uint8)
+    flat = np.full((24, 24, 3), 128, dtype=np.uint8)
+    for px in (smooth, flat):
+        for q in (98, 50):
+            assert jpeg_encode(px, q) == jpeg_encode(
+                px, q, _force_reference=True
+            )
+            out = jpeg_decode(jpeg_encode(px, q))
+            assert out.shape == px.shape
