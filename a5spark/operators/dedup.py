@@ -142,6 +142,12 @@ def minhash_bands(
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket."""
+    from a5spark import cache
+
+    # both self-join sides reference `bands` — persist so the full
+    # signature pipeline (shingle explode -> n_hashes mins -> band hash)
+    # evaluates once, not once per side (docs x n_bands rows, tiny)
+    bands = cache.persist(bands)
     a = bands.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -200,11 +206,17 @@ def simhash_neardup(
     width = bits // bands
     sig = simhash(df, bits, text, id_col)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
-    banded = sig.select(F.col(id_col), F.col("simhash"), band_idx).withColumn(
-        "slice",
-        _shru(F.col("simhash"), F.col("band_idx") * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        ),
+    from a5spark import cache
+
+    # persisted: the banded signature relation feeds BOTH self-join sides —
+    # without it each side re-runs the token explode + per-bit aggregation
+    banded = cache.persist(
+        sig.select(F.col(id_col), F.col("simhash"), band_idx).withColumn(
+            "slice",
+            _shru(F.col("simhash"), F.col("band_idx") * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
     )
     a = banded.select(
         "band_idx", "slice", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
@@ -240,6 +252,12 @@ def jaccard_pairs(
     vs 19.9 s for the join form at sf1, 317k pairs). Counts are exact up to
     md5 collisions — deterministic, and the oracle SQL's equivalent
     distinct-join formulation produces identical values."""
+    from a5spark import cache
+
+    # persisted: `pairs` is referenced THREE times (both candidate-id arms
+    # and the final pair join) and each reference otherwise re-runs the
+    # whole LSH pipeline; `sets_df` feeds both join sides of the verify
+    pairs = cache.persist(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -248,7 +266,7 @@ def jaccard_pairs(
     # no forced broadcast: the candidate-id set is unbounded (it scales with
     # near-dup density), so let the optimizer pick broadcast vs shuffle
     docs = _spread(docs.join(cand_ids, id_col, "left_semi"))
-    sets_df = (
+    sets_df = cache.persist(
         shingles(docs, text, k, id_col)
         .select(F.col(id_col), content_digest(F.col("shingle")).alias("__sh"))
         .groupBy(id_col)

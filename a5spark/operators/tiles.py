@@ -191,57 +191,81 @@ def tile_pyramid(
     tile_px: int = 64,
 ) -> DataFrame:
     """Tile DataFrame for every requested level. `assigned` must carry
-    (lon, lat, <fine_cell>) at a resolution >= max(resolutions)."""
+    (lon, lat, <fine_cell>) at a resolution >= max(resolutions).
+    `resolutions` must be distinct (one tile per (resolution, cell)).
+
+    All levels run as ONE pipeline (optimization round 8): a per-row
+    explode attaches every level's parent cell, so the input is scanned
+    once and the georef UDF / pixel-count / tile-assembly stages each run
+    once over the (level, cell)-keyed relation instead of once per level —
+    the per-level union paid the full stage chain (two shuffles + two
+    Python stages) times len(resolutions). Shuffle volume is unchanged
+    (same (level, cell, pixel) partial-agg bound); results are identical
+    (same per-level binning, same deterministic assembly)."""
     from a5spark import cache
 
     px = int(tile_px)
     assemble = _make_tile_assembler(px)
 
-    out = None
-    for res in resolutions:
-        level = assigned.withColumn(
-            "__tc", native.cell_to_parent(F.col(fine_cell), res)
-        ).select("__tc", "lon", "lat")
-        # georeference every DISTINCT tile cell in one batched boundary pass;
-        # persisted because it feeds both the bbox broadcast and the final
-        # bounds_json attach (caller releases via cache.release_persisted)
-        georef = cache.persist(
-            level.select("__tc")
-            .distinct()
-            .withColumn("__g", _a5_tile_georef(F.col("__tc")))
-            .select("__tc", "__g.*")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(res).cast("int").alias("res"),
+                    native.cell_to_parent(F.col(fine_cell), res).alias("tc"),
+                )
+                for res in resolutions
+            ]
         )
-        staged = level.join(
-            F.broadcast(georef.drop("bounds_json")), "__tc"
-        ).withColumn("pix", _pixel_index(F.col("lon"), F.col("lat"), px))
-        counts = staged.groupBy("__tc", "pix").agg(
-            F.count(F.lit(1)).alias("n")
+    ).alias("__rp")
+    level = assigned.select(pairs, "lon", "lat").select(
+        F.col("__rp.res").alias("__res"),
+        F.col("__rp.tc").alias("__tc"),
+        "lon",
+        "lat",
+    )
+    # georeference every DISTINCT tile cell (all levels together) in one
+    # batched boundary pass; persisted because it feeds both the bbox
+    # broadcast and the final bounds_json attach (caller releases via
+    # cache.release_persisted)
+    georef = cache.persist(
+        level.select("__res", "__tc")
+        .distinct()
+        .withColumn("__g", _a5_tile_georef(F.col("__tc")))
+        .select("__res", "__tc", "__g.*")
+    )
+    staged = level.join(
+        F.broadcast(georef.drop("bounds_json")), ["__res", "__tc"]
+    ).withColumn("pix", _pixel_index(F.col("lon"), F.col("lat"), px))
+    counts = staged.groupBy("__res", "__tc", "pix").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hits = counts.groupBy("__res", "__tc").agg(
+        F.sort_array(F.collect_list(F.struct("pix", "n"))).alias("hits"),
+        F.sum("n").alias("n_images"),
+    )
+    return (
+        hits.withColumn(
+            "tile",
+            assemble(
+                F.transform(F.col("hits"), lambda x: x["pix"]),
+                F.transform(F.col("hits"), lambda x: x["n"]),
+            ),
         )
-        hits = counts.groupBy("__tc").agg(
-            F.sort_array(F.collect_list(F.struct("pix", "n"))).alias("hits"),
-            F.sum("n").alias("n_images"),
+        .drop("hits")
+        .join(
+            F.broadcast(georef.select("__res", "__tc", "bounds_json")),
+            ["__res", "__tc"],
         )
-        tiles = (
-            hits.withColumn(
-                "tile",
-                assemble(
-                    F.transform(F.col("hits"), lambda x: x["pix"]),
-                    F.transform(F.col("hits"), lambda x: x["n"]),
-                ),
-            )
-            .drop("hits")
-            .join(F.broadcast(georef.select("__tc", "bounds_json")), "__tc")
-            .select(
-                F.col("__tc").alias("cell"),
-                F.lit(res).cast("int").alias("resolution"),
-                "n_images",
-                F.lit(px).cast("int").alias("tile_px"),
-                "tile",
-                "bounds_json",
-            )
+        .select(
+            F.col("__tc").alias("cell"),
+            F.col("__res").alias("resolution"),
+            "n_images",
+            F.lit(px).cast("int").alias("tile_px"),
+            "tile",
+            "bounds_json",
         )
-        out = tiles if out is None else out.unionByName(tiles)
-    return out
+    )
 
 
 def verify_tiles(tiles_df: DataFrame, assigned: DataFrame, resolutions, tile_px=64) -> float:
