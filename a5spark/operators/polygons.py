@@ -90,8 +90,15 @@ def polyfill_cover(
     # partition; one shuffle, no driver-side count job. spread_col widens
     # the hash key for layers where one id carries MANY rows (exploded
     # multipolygon parts): without it a 1000-part id pins to one task.
+    # Task count = cluster slots (defaultParallelism): the historic 4x
+    # over-decomposition bought nothing — AQE cannot rebalance inside a
+    # mapInPandas stage, so extra tasks only smooth heterogeneous fill
+    # costs, while each Python task costs ~5 ms dispatch (measured: a
+    # 128-task UDF stage is ~0.5 s slower than a 32-task one on tiny
+    # layers, the common case). Callers with pathologically skewed layers
+    # can pre-repartition finer themselves.
     spark = polygons.sparkSession
-    n_parts = min(512, 4 * spark.sparkContext.defaultParallelism)
+    n_parts = min(512, spark.sparkContext.defaultParallelism)
     keys = [id_col] if spread_col is None else [id_col, spread_col]
     return polygons.repartition(n_parts, *keys).mapInPandas(fill, COVER_SCHEMA)
 
