@@ -643,37 +643,61 @@ def jpeg_encode(
 
 
 class _HuffTable:
-    """Canonical Huffman decode via a full 16-bit lookup table: ONE peek +
-    ONE list read per symbol instead of the T.81 per-length walk — each
-    entry packs (code length << 9) | symbol, so length and symbol come out
-    of a single lookup (length 0 = invalid window). The table is a 64Ki
-    list built vectorized in ~1 ms and cached per distinct (bits, vals) —
-    across a corpus most images share tables."""
+    """Canonical Huffman decode, two-level: an 8-bit fast table resolves
+    codes up to 8 bits (the frequent symbols of an optimized table — the
+    overwhelming majority of decoded symbols) in one peek + one list read,
+    each entry packing (code length << 9) | symbol; longer codes fall back
+    to the T.81 F.2.2.3 canonical walk over (mincode, maxcode, valptr).
 
-    __slots__ = ("lut",)
+    Why not the historic full 16-bit LUT: building 64Ki entries (numpy
+    fill + tolist) cost ~1.3 ms per table — and this codec emits per-image
+    OPTIMIZED tables, so a decode corpus never repeats tables and paid 4
+    builds per image, measured ~40% of total decode wall for small images.
+    The 256-entry build is ~20 us; the rare long-code walk is O(8)."""
+
+    __slots__ = ("fast", "mincode", "maxcode", "valptr", "vals")
 
     def __init__(self, bits: list[int], vals: bytes):
-        lut_sym = np.zeros(1 << 16, dtype=np.int32)
-        lut_len = np.zeros(1 << 16, dtype=np.int32)
+        fast = np.zeros(256, dtype=np.int32)
+        mincode = [0] * 17
+        maxcode = [-1] * 17
+        valptr = [0] * 17
         code = 0
         k = 0
         for li in range(1, 17):
             n = bits[li - 1]
+            valptr[li] = k
+            mincode[li] = code
             if n:
-                span = 1 << (16 - li)
-                start = code << (16 - li)
-                syms = np.frombuffer(
-                    vals[k : k + n], dtype=np.uint8
-                ).astype(np.int32)
-                lut_sym[start : start + n * span] = np.repeat(syms, span)
-                lut_len[start : start + n * span] = li
+                if li <= 8:
+                    span = 1 << (8 - li)
+                    start = code << (8 - li)
+                    syms = np.frombuffer(
+                        vals[k : k + n], dtype=np.uint8
+                    ).astype(np.int32)
+                    fast[start : start + n * span] = (li << 9) | np.repeat(
+                        syms, span
+                    )
+                maxcode[li] = code + n - 1
                 code += n
                 k += n
             code <<= 1
         # plain list: CPython list indexing avoids numpy scalar boxing in
-        # the per-symbol hot loop (the arrays only exist for the
-        # vectorized build)
-        self.lut = ((lut_len << 9) | lut_sym).tolist()
+        # the per-symbol hot loop
+        self.fast = fast.tolist()
+        self.mincode = mincode
+        self.maxcode = maxcode
+        self.valptr = valptr
+        self.vals = bytes(vals)
+
+    def slow(self, window16: int) -> int:
+        """Decode a >8-bit code from the full 16-bit window; returns the
+        same (length << 9) | symbol packing as the fast table."""
+        for li in range(9, 17):
+            c = window16 >> (16 - li)
+            if c <= self.maxcode[li]:
+                return (li << 9) | self.vals[self.valptr[li] + c - self.mincode[li]]
+        raise ValueError("invalid JPEG Huffman code")
 
 
 _HUFF_CACHE: dict[bytes, _HuffTable] = {}
@@ -917,7 +941,9 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
 
     luts = []
     for _, td, ta in scan:
-        luts.append((htables[(0, td)].lut, htables[(1, ta)].lut))
+        dc_t = htables[(0, td)]
+        ac_t = htables[(1, ta)]
+        luts.append((dc_t.fast, dc_t, ac_t.fast, ac_t))
 
     idx_out = [[] for _ in scan]
     val_out = [[] for _ in scan]
@@ -944,7 +970,7 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
         # appended-bits extraction share a single acc mask (measured ~1.4x
         # on the loop vs the two-phase fill)
         for si, bi in plan[lo:hi]:
-            dc_lut, ac_lut = luts[si]
+            dc_fast, dc_t, ac_fast, ac_t = luts[si]
             il = idx_out[si]
             vl = val_out[si]
             base = bi << 6
@@ -953,10 +979,10 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
                 acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
                 posn += 1
                 nbits += 8
-            e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+            e = dc_fast[(acc >> (nbits - 8)) & 0xFF]
+            if e == 0:
+                e = dc_t.slow((acc >> (nbits - 16)) & 0xFFFF)
             li = e >> 9
-            if li == 0:
-                raise ValueError("invalid JPEG Huffman code")
             s = e & 0x1FF
             if s > 11:  # T.81 F.1.2.1: 8-bit DC magnitude cap
                 raise ValueError(
@@ -982,10 +1008,10 @@ def _decode_scan(ecs, scan, comps, h, w, htables, restart_interval, coeff):
                     acc = (acc << 8) | (data_s[posn] if posn < ns else 0)
                     posn += 1
                     nbits += 8
-                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                e = ac_fast[(acc >> (nbits - 8)) & 0xFF]
+                if e == 0:
+                    e = ac_t.slow((acc >> (nbits - 16)) & 0xFFFF)
                 li = e >> 9
-                if li == 0:
-                    raise ValueError("invalid JPEG Huffman code")
                 rs = e & 0x1FF
                 size = rs & 0x0F
                 if size == 0:

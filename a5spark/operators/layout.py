@@ -375,6 +375,20 @@ def _commit_manifest(
                 # whole repair path is moot — a PUT is all-or-nothing, so
                 # torn reservations cannot exist there (conditional-put
                 # creates are atomic and complete).
+                #
+                # SECOND documented residual race (dual repairers): with
+                # two concurrent repairers, B's parse-fail-then-delete gap
+                # can straddle A's recreate + readback of the same version
+                # file — B then deletes A's fresh entry AFTER A's readback
+                # passed, so A reports success while its version-log entry
+                # is gone (the manifest POINTER A also wrote stays intact,
+                # so the state is recoverable, but the log row is lost).
+                # Reaching it needs both repairers inside the same sub-ms
+                # parse→delete gap after BOTH graced > _TORN_GRACE_SEC on
+                # the same torn file — same order of improbability as the
+                # stalled-writer window above, and the same fix applies on
+                # real deployments: an object store's atomic creates make
+                # the repair path (and both races) vanish.
                 try:
                     json.loads(_read_text(spark, vfile))
                     continue  # completed after the last poll — lost race
