@@ -231,9 +231,13 @@ def decode_health(df: DataFrame) -> DataFrame:
             for iid, data, wi, hi, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                if data is None or fmt is None or wi is None or hi is None:
+                if data is None or fmt is None or pd.isna(wi) or pd.isna(hi):
                     # NULL payload/metadata is bad INPUT (routine at ingest
-                    # scale), not an engine bug — contain it per row too
+                    # scale), not an engine bug — contain it per row too.
+                    # pd.isna, not `is None`: NULL IntegerType values arrive
+                    # in pandas as NaN floats, which `is None` misses (the
+                    # row then fell through to int(NaN) and was mislabeled
+                    # err_kind='ValueError' instead of 'NullInput')
                     rows.append((iid, False, "NullInput"))
                     continue
                 try:

@@ -306,3 +306,57 @@ def test_jpeg_encode_matches_reference_bytes():
             )
             out = jpeg_decode(jpeg_encode(px, q))
             assert out.shape == px.shape
+
+
+# --- decode_health NULL metadata containment (NaN-arriving ints) -------------
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from a5spark.session import get_spark
+
+    s = get_spark("a5spark-test-round8", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_decode_health_null_int_metadata_labels_nullinput(spark):
+    """A NULL IntegerType w/h reaches pandas as NaN (not None); the null
+    guard must catch it and label the row NullInput rather than letting
+    int(NaN) raise and mislabel it ValueError."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from a5spark.operators.multimodal import decode_health
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    px = bytes(range(12))  # 2x2 rgb8
+    rows = [
+        ("ok", px, 2, 2, "rgb8"),
+        ("null_w", px, None, 2, "rgb8"),
+        ("null_h", px, 2, None, "rgb8"),
+        ("null_bytes", None, 2, 2, "rgb8"),
+        ("null_fmt", px, 2, 2, None),
+    ]
+    out = {
+        r["image_id"]: (r["ok"], r["err_kind"])
+        for r in decode_health(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert out["ok"] == (True, None)
+    for k in ("null_w", "null_h", "null_bytes", "null_fmt"):
+        assert out[k] == (False, "NullInput"), (k, out[k])
