@@ -582,17 +582,30 @@ def q_cover_set_ops(spark, sf_dir):
     qs = cache.persist(_spark_cover_qs(li))
     a = cache.persist(_spark_cover6(spark, qs, "a", 88, 3))
     b = cache.persist(_spark_cover6(spark, qs, "b", 60, 4))
-    # tag every cell of a (outer-join) b with the set ops it belongs to, then
-    # run ONE compact descent partitioned by op (group_cols) — a third of the
-    # stages of three separate compacts, identical results
-    af = uncompact_cover(a, 6).withColumn("__a", F.lit(1))
-    bf = uncompact_cover(b, 6).withColumn("__b", F.lit(1))
-    both = af.join(bf, "cell", "full_outer")
+    # tag every cell of a / b with the set ops it belongs to, then run ONE
+    # compact descent partitioned by op (group_cols) — a third of the
+    # stages of three separate compacts, identical results. The membership
+    # flags come from union + max-flag aggregation rather than the historic
+    # FULL OUTER self-join: one hash-agg exchange instead of a two-sided
+    # join shuffle + merge (round 8; same (cell, in-a, in-b) relation)
+    # min_resolution=6: both synthetic covers are built at res 6 exactly
+    # (q<<58 | s<<48 | marker), so the res-0/1 kernel branch can be omitted
+    af = uncompact_cover(a, 6, min_resolution=6).select(
+        "cell", F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    bf = uncompact_cover(b, 6, min_resolution=6).select(
+        "cell", F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    both = (
+        af.unionByName(bf)
+        .groupBy("cell")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+    )
     tags = F.array_compact(
         F.array(
             F.lit("union"),
-            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), F.lit("intersect")),
-            F.when(F.col("__a").isNotNull() & F.col("__b").isNull(), F.lit("difference")),
+            F.when((F.col("__a") == 1) & (F.col("__b") == 1), F.lit("intersect")),
+            F.when((F.col("__a") == 1) & (F.col("__b") == 0), F.lit("difference")),
         )
     )
     tagged = both.select(F.explode(tags).alias("op"), "cell")
@@ -1854,9 +1867,17 @@ def q_grid_disk(spark, sf_dir):
     dens = _snapshot(
         cell_density(img), f"{_GRIDDISK_SNAPSHOT}/density", reuse=True
     )
+    # the origin cell's own count rides along the exploded disk rows
+    # (optimization round 8): n is functionally dependent on cell, so
+    # first(n) in the ring aggregation replaces the historic second
+    # dens-join — one less exchange, identical rows (every dens cell's
+    # disk contains itself, so the old inner join kept exactly the ring
+    # rows; the oracle projects (cell, dcell) from the snapshot unchanged)
     disk = _snapshot(
         dens.select(
-            "cell", F.explode(a5_grid_disk(F.col("cell"), F.lit(2))).alias("dcell")
+            "cell",
+            "n",
+            F.explode(a5_grid_disk(F.col("cell"), F.lit(2))).alias("dcell"),
         ),
         f"{_GRIDDISK_SNAPSHOT}/disk",
     )
@@ -1865,15 +1886,12 @@ def q_grid_disk(spark, sf_dir):
         disk.join(nb, "dcell", "left")
         .groupBy("cell")
         .agg(
+            F.first("n").cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("n_disk_cells"),
             F.sum(F.coalesce(F.col("d_n"), F.lit(0))).cast("long").alias("disk_sum"),
         )
     )
-    return (
-        dens.join(ring, "cell")
-        .select("cell", F.col("n").cast("long").alias("n"), "n_disk_cells", "disk_sum")
-        .orderBy("cell")
-    )
+    return ring.select("cell", "n", "n_disk_cells", "disk_sum").orderBy("cell")
 
 
 def oracle_grid_disk():
@@ -1992,9 +2010,17 @@ def q_focal_smoothing(spark, sf_dir):
     dens = _snapshot(
         cell_density(img), f"{_FOCAL_SNAPSHOT}/density", reuse=True
     )
+    # the origin cell's count rides along the exploded adjacency rows
+    # (round 8, same move as grid_disk): first(n) in the focal aggregation
+    # replaces the historic second dens-join — one less exchange,
+    # identical rows (every cell has >= 1 neighbor, so the old inner join
+    # kept exactly the focal rows; the oracle projects (cell, nbr) from
+    # the snapshot unchanged)
     adj = _snapshot(
         dens.select(
-            "cell", F.explode(a5_cell_neighbors(F.col("cell"))).alias("nbr")
+            "cell",
+            "n",
+            F.explode(a5_cell_neighbors(F.col("cell"))).alias("nbr"),
         ),
         f"{_FOCAL_SNAPSHOT}/adjacency",
     )
@@ -2003,21 +2029,18 @@ def q_focal_smoothing(spark, sf_dir):
         adj.join(nb, "nbr", "left")
         .groupBy("cell")
         .agg(
+            F.first("n").cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("n_neighbors"),
             F.sum(F.coalesce(F.col("nbr_n"), F.lit(0))).cast("long").alias("nbr_sum"),
         )
     )
-    return (
-        dens.join(focal, "cell")
-        .select(
-            "cell",
-            F.col("n").cast("long").alias("n"),
-            "n_neighbors",
-            "nbr_sum",
-            F.round(F.col("nbr_sum") / F.col("n_neighbors"), 6).alias("focal_mean"),
-        )
-        .orderBy("cell")
-    )
+    return focal.select(
+        "cell",
+        "n",
+        "n_neighbors",
+        "nbr_sum",
+        F.round(F.col("nbr_sum") / F.col("n_neighbors"), 6).alias("focal_mean"),
+    ).orderBy("cell")
 
 
 def oracle_focal_smoothing():

@@ -217,7 +217,11 @@ def compact_cover(
 
 
 def uncompact_cover(
-    cover: DataFrame, target_resolution: int, cell: str = "cell", group_cols=()
+    cover: DataFrame,
+    target_resolution: int,
+    cell: str = "cell",
+    group_cols=(),
+    min_resolution: int | None = None,
 ) -> DataFrame:
     """Expand a (possibly mixed-resolution) cover to a single fine resolution.
     Hilbert-regime cells (res 2..29) expand via the native children sequence
@@ -226,7 +230,14 @@ def uncompact_cover(
     every cell through the kernel: res 30's variable-width marker layout is
     outside the native bit expressions' regime (shiftleft(1, 59 - 2*30)
     would wrap), and native cell_resolution misreads mk-1 res-30 cells as
-    res 29."""
+    res 29.
+
+    min_resolution: caller CONTRACT that every input cell's resolution is
+    >= this value. With min_resolution >= 2 the res-0/1 kernel branch is
+    omitted entirely — that branch is a Python-UDF stage whose tasks are
+    scheduled even when its filter keeps nothing (one per uncompact, ~0.2 s
+    each on the bench host). The >= 2 filter is still applied, so a
+    contract violation drops rows rather than corrupting the expansion."""
     from a5spark.functions.udfs import a5_uncompact
 
     g = list(group_cols)
@@ -245,6 +256,8 @@ def uncompact_cover(
             native.cell_children(F.col(cell), F.col("__r"), target_resolution)
         ).alias(cell),
     )
+    if min_resolution is not None and min_resolution >= 2:
+        return hilbert
     low = staged.filter(F.col("__r") < 2).select(
         *g,
         F.explode(a5_uncompact(F.col(cell), F.lit(target_resolution))).alias(cell),
