@@ -161,24 +161,55 @@ def compact_cover(
     from a5spark.functions.udfs import a5_compact_list
 
     g = list(group_cols)
-    # persist the input cover and each stage's survivor set: every stage (and
-    # the final low/high split) references its `cur` TWICE (fine/passed), and
-    # Spark re-evaluates the full lineage per union branch — for a cover
-    # derived from an expensive source (a distinct over a fact table) that
-    # re-scan dominates at scale. The persisted frames are cover-sized
-    # (small by definition) and are released by the caller's cache scope.
-    cur = cache.persist(df.select(*g, F.col(cell).alias("__c")))
+    sel = df.select(*g, F.col(cell).alias("__c"))
     res_col = native.cell_resolution(F.col("__c"))
     if resolution_bounds is not None:
         # caller-known range (e.g. a freshly uncompacted single-resolution
         # cover) — skips the max-res probe job
         r_hi = int(resolution_bounds[1])
+        cur = sel
     else:
+        # persist: the probe AND the descent below both read the input
+        cur = cache.persist(sel)
         hi = cur.agg(F.max(res_col).alias("hi")).first().hi
         if hi is None:
             return df.select(*g, F.col(cell)).limit(0)
         r_hi = int(hi)
 
+    if r_hi <= 8:
+        # SINGLE-PASS route (optimization round 8): with the finest input
+        # resolution <= 8, anchoring every cell at its res-0 ORIGIN keeps
+        # each collect_list group bounded by one origin's full res-8 cover
+        # (5 * 4^7 = 81,920 cells) — inside the same budget as the staged
+        # descent's 4^8 bound — and collapse chains never cross an origin
+        # (the deliberate no-world-cell rule), so ONE kernel fixpoint pass
+        # equals the staged loop + final low-pass: 1 shuffle + 1 Arrow UDF
+        # stage instead of 3-4 shuffles, two UDF stages and two persisted
+        # intermediates. Anchor expr: top 6 bits are the quintant index
+        # (origin*5 + segment) for res >= 1 and the origin id for res 0;
+        # dividing by 5 maps res >= 1 cells to their origin and merely
+        # merges a few res-0 cells into a neighboring group, which is
+        # harmless — the kernel compact is grouping-agnostic as long as no
+        # sibling set is split, and res-0 cells never collapse further.
+        anchor = native._shl(
+            F.floor(native._shru(F.col("__c"), F.lit(58)) / F.lit(5)).cast(
+                "long"
+            ),
+            F.lit(58),
+        ) + native._shl(F.lit(1), F.lit(57))
+        return (
+            cur.groupBy(*g, anchor.alias("__anc"))
+            .agg(F.collect_list("__c").alias("__cells"))
+            .select(*g, F.explode(a5_compact_list(F.col("__cells"))).alias(cell))
+        )
+
+    # STAGED descent for deep covers: persist the input cover and each
+    # stage's survivor set — every stage (and the final low/high split)
+    # references its `cur` TWICE (fine/passed), and Spark re-evaluates the
+    # full lineage per union branch. The persisted frames are cover-sized
+    # (small by definition) and are released by the caller's cache scope.
+    if resolution_bounds is not None:
+        cur = cache.persist(cur)
     anchor_span = 8  # bounds collect_list groups at 4^8 cells
     while r_hi > 2:
         a = max(2, r_hi - anchor_span)
