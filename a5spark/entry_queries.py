@@ -792,39 +792,48 @@ def q_crossmodal_neardup(spark, sf_dir):
     clears sqrt(4/25). The training-pipeline pattern of requiring agreement
     between modalities before dropping a row; every value cross-engine exact."""
     from a5spark.operators.dedup import simhash_neardup
-    from a5spark.operators.similarity import quantize
+    from a5spark.operators.similarity import _broadcast_pair_scorer, quantize
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     pairs = simhash_neardup(docs, bits=32, bands=4, max_hamming=3)
-    qv = emb.select(
-        F.col("vec_id"), quantize(F.col("embedding"), 127).alias("__v")
-    ).withColumn(
-        "__n2",
-        F.aggregate(
-            F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
+    # broadcast-lookup scoring (round 8): pairs carry only ids; the
+    # quantized matrix broadcasts and pairs missing from the embeddings
+    # table drop, exactly like the inner joins of the over-cap fallback
+    scorer = _broadcast_pair_scorer(
+        emb, "vec_id", emb, "vec_id", "id_a", "id_b", "embedding", 127
     )
-    a_side = qv.select(
-        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__na")
-    )
-    b_side = qv.select(
-        F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2").alias("__nb")
-    )
-    scored = (
-        pairs.join(a_side, "id_a")
-        .join(b_side, "id_b")
-        .withColumn(
-            "qdot",
+    if scorer is not None:
+        scored = scorer(pairs)
+    else:
+        qv = emb.select(
+            F.col("vec_id"), quantize(F.col("embedding"), 127).alias("__v")
+        ).withColumn(
+            "__n2",
             F.aggregate(
-                F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+                F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             ),
         )
-    )
+        a_side = qv.select(
+            F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n2").alias("__na")
+        )
+        b_side = qv.select(
+            F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2").alias("__nb")
+        )
+        scored = (
+            pairs.join(a_side, "id_a")
+            .join(b_side, "id_b")
+            .withColumn(
+                "qdot",
+                F.aggregate(
+                    F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
     confirmed = (F.col("qdot") > 0) & (
         F.col("qdot") * F.col("qdot") * 25 >= F.lit(4) * F.col("__na") * F.col("__nb")
     )

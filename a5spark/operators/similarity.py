@@ -621,6 +621,106 @@ def neardup_candidate_pairs(
     )
 
 
+# broadcast-lookup pair scoring: vector tables up to this many rows collect
+# to the driver and broadcast as an int64 matrix (dim x 8 B/vector — 100 MB
+# at the cap for dim=64); larger tables keep the join+fold re-rank, whose
+# shuffle-join shape is the corpus-scale design. Module-level so tests can
+# force the fallback path.
+_PAIR_BCAST_CAP = 200_000
+
+_PAIR_SCORE_SCHEMA = "qdot long, na long, nb long, ok boolean"
+
+
+def _broadcast_pair_scorer(
+    vectors_a: DataFrame,
+    id_a_col: str,
+    vectors_b: DataFrame,
+    id_b_col: str,
+    pair_a: str,
+    pair_b: str,
+    vec: str,
+    scale: int,
+    cap: int | None = None,
+):
+    """Candidate-pair re-rank against driver-collected quantized matrices —
+    the small-table fast path (optimization round 8).
+
+    The join+fold re-rank (module header) pays two joins that exist only to
+    attach vectors plus one interpreted dim-element aggregate(zip_with) per
+    pair. The earlier pandas_udf einsum alternative shipped BOTH vector
+    columns through Arrow per pair (~1 KB/row) and measured 4-17x slower —
+    but shipping nothing works: when a vector table fits a bounded collect
+    (LIMIT cap+1 probe, the same driver-memory envelope pattern as
+    _matmul_candidates / pip_refine), the quantized matrix broadcasts once
+    and each Arrow batch of bare (id_a, id_b) pairs scores with one
+    vectorized gather + einsum. Measured 3x on the embed_neardup scoring
+    step at sf0.1 (1.07 -> 0.35 s for 1.58M pairs, identical rows).
+
+    Returns None when either side exceeds the cap (callers keep the join
+    path). Otherwise returns fn(pairs) -> pairs + (qdot, __na, __nb)
+    LongType columns, with pairs whose id is absent from its vector table
+    DROPPED — identical to the inner joins this replaces. Exactness:
+    _np_quantize is the documented convention of the Catalyst `quantize`
+    expression, and numpy int64 arithmetic wraps mod 2^64 exactly like JVM
+    long arithmetic, so scores are bit-identical to the join path."""
+    import pandas as pd
+
+    from a5spark import cache
+
+    if cap is None:
+        cap = _PAIR_BCAST_CAP
+
+    def _collect(tbl, id_col):
+        rows = tbl.select(id_col, vec).limit(cap + 1).collect()
+        # over-cap AND empty both fall back to the join path (an empty
+        # list would build a 1-D (0,) matrix; the join yields empty anyway)
+        if len(rows) > cap or not rows:
+            return None
+        ids = pd.Index([r[0] for r in rows])
+        V = _np_quantize(
+            np.array([list(r[1]) for r in rows], dtype=np.float64), scale
+        )
+        return ids, V, np.einsum("ij,ij->i", V, V)
+
+    side_a = _collect(vectors_a, id_a_col)
+    if side_a is None:
+        return None
+    same = vectors_a is vectors_b and id_a_col == id_b_col
+    side_b = side_a if same else _collect(vectors_b, id_b_col)
+    if side_b is None:
+        return None
+
+    spark = vectors_a.sparkSession
+    bc = cache.register_broadcast(
+        spark.sparkContext.broadcast((side_a, side_b))
+    )
+
+    @F.pandas_udf(_PAIR_SCORE_SCHEMA)
+    def _score(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        (ids_a, Va, n2a), (ids_b, Vb, n2b) = bc.value
+        ia = ids_a.get_indexer(a.to_numpy())
+        ib = ids_b.get_indexer(b.to_numpy())
+        ok = (ia >= 0) & (ib >= 0)
+        iac = np.where(ok, ia, 0)
+        ibc = np.where(ok, ib, 0)
+        qdot = np.einsum("ij,ij->i", Va[iac], Vb[ibc])
+        return pd.DataFrame(
+            {"qdot": qdot, "na": n2a[iac], "nb": n2b[ibc], "ok": ok}
+        )
+
+    def apply(pairs: DataFrame) -> DataFrame:
+        scored = pairs.withColumn("__ps", _score(F.col(pair_a), F.col(pair_b)))
+        return (
+            scored.filter(F.col("__ps.ok"))
+            .withColumn("qdot", F.col("__ps.qdot"))
+            .withColumn("__na", F.col("__ps.na"))
+            .withColumn("__nb", F.col("__ps.nb"))
+            .drop("__ps")
+        )
+
+    return apply
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     dim: int,
@@ -661,6 +761,17 @@ def cosine_neardup_pairs(
         df, dim, n_bits, n_tables, scale, id_col, vec, bucket_cap, extra_bits,
         probe_flips,
     )
+    scorer = _broadcast_pair_scorer(
+        df, id_col, df, id_col, "id_a", "id_b", vec, scale
+    )
+    if scorer is not None:
+        scored = scorer(pairs)
+        keep = (F.col("qdot") > 0) & (
+            F.col("qdot") * F.col("qdot") * threshold_den
+            >= F.lit(threshold_num) * F.col("__na") * F.col("__nb")
+        )
+        return scored.filter(keep).select("id_a", "id_b", "qdot")
+    # over-cap fallback: join+fold re-rank.
     # persisted: the per-element transform(round) quantization would
     # otherwise be re-evaluated per candidate PAIR row on each join side
     # (measured ~25 s for 4M pairs at sf1) instead of once per vector
@@ -780,28 +891,36 @@ def lsh_bucket_topk(
     )
     from a5spark import cache as _cache
 
-    qv = queries.select(F.col(query_id), quantize(F.col(vec), scale).alias("__qv"))
-    # persisted so the per-element quantization runs once per point, not
-    # once per candidate pair (the broadcast materializes qv already)
-    pv = _cache.persist(
-        points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    scorer = _broadcast_pair_scorer(
+        queries, query_id, points, point_id, query_id, point_id, vec, scale
     )
-    cand = (
-        pairs.join(F.broadcast(qv), query_id)  # queries are the small side
-        .join(pv, point_id)  # AQE picks broadcast vs shuffle for points
-        .withColumn(
-            "qdot",
-            F.aggregate(
-                F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
+    if scorer is not None:
+        cand = scorer(pairs).select(query_id, point_id, "qdot")
+    else:
+        qv = queries.select(
+            F.col(query_id), quantize(F.col(vec), scale).alias("__qv")
         )
-    )
-    # project the vectors away BEFORE the ranking window: row_number
-    # shuffles every candidate row, and carrying two dim-length arrays
-    # through that exchange is ~1 KB/row of dead weight (4 GB at sf1)
-    cand = cand.select(query_id, point_id, "qdot")
+        # persisted so the per-element quantization runs once per point, not
+        # once per candidate pair (the broadcast materializes qv already)
+        pv = _cache.persist(
+            points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+        )
+        cand = (
+            pairs.join(F.broadcast(qv), query_id)  # queries are the small side
+            .join(pv, point_id)  # AQE picks broadcast vs shuffle for points
+            .withColumn(
+                "qdot",
+                F.aggregate(
+                    F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        # project the vectors away BEFORE the ranking window: row_number
+        # shuffles every candidate row, and carrying two dim-length arrays
+        # through that exchange is ~1 KB/row of dead weight (4 GB at sf1)
+        cand = cand.select(query_id, point_id, "qdot")
     w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -928,25 +1047,33 @@ def ivf_topk(
     from a5spark import cache as _cache
 
     pairs = qprobe.join(passign, "__list").select(query_id, point_id)
-    qv = queries.select(F.col(query_id), quantize(F.col(vec), scale).alias("__qv"))
-    # persisted: quantization once per point, not once per candidate pair
-    pv = _cache.persist(
-        points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+    scorer = _broadcast_pair_scorer(
+        queries, query_id, points, point_id, query_id, point_id, vec, scale
     )
-    cand = (
-        pairs.join(F.broadcast(qv), query_id)
-        .join(pv, point_id)
-        .withColumn(
-            "qdot",
-            F.aggregate(
-                F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
+    if scorer is not None:
+        cand = scorer(pairs).select(query_id, point_id, "qdot")
+    else:
+        qv = queries.select(
+            F.col(query_id), quantize(F.col(vec), scale).alias("__qv")
         )
-    )
-    # vectors projected away before the ranking window (see lsh_bucket_topk)
-    cand = cand.select(query_id, point_id, "qdot")
+        # persisted: quantization once per point, not once per candidate pair
+        pv = _cache.persist(
+            points.select(F.col(point_id), quantize(F.col(vec), scale).alias("__pv"))
+        )
+        cand = (
+            pairs.join(F.broadcast(qv), query_id)
+            .join(pv, point_id)
+            .withColumn(
+                "qdot",
+                F.aggregate(
+                    F.zip_with(F.col("__qv"), F.col("__pv"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        # vectors projected away before the ranking window (see lsh_bucket_topk)
+        cand = cand.select(query_id, point_id, "qdot")
     w = Window.partitionBy(query_id).orderBy(F.desc("qdot"), F.asc(point_id))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -360,3 +360,112 @@ def test_decode_health_null_int_metadata_labels_nullinput(spark):
     assert out["ok"] == (True, None)
     for k in ("null_w", "null_h", "null_bytes", "null_fmt"):
         assert out[k] == (False, "NullInput"), (k, out[k])
+
+
+# --- broadcast-lookup pair scoring vs the join+fold re-rank ------------------
+
+
+def _rand_vec_df(spark, n, dim, seed):
+    rng = np.random.default_rng(seed)
+    vecs = (rng.random((n, dim)) * 2.0 - 1.0).astype(np.float64)
+    # include exact .5/scale quantization ties and duplicates (qdot ties)
+    vecs[0] = vecs[1]
+    vecs[2, :] = 0.5 / 127.0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cosine_neardup_broadcast_scorer_matches_join_path(spark):
+    """cosine_neardup_pairs with the broadcast-lookup scorer (default) must
+    emit exactly the rows of the join+fold path (cap forced to 0)."""
+    from a5spark import cache
+    from a5spark.operators import similarity as sim
+
+    df, _ = _rand_vec_df(spark, 150, 8, seed=42)
+    kwargs = dict(
+        dim=8, threshold_num=4, threshold_den=25, n_bits=2, n_tables=4,
+        scale=127, bucket_cap=30, extra_bits=4,
+    )
+    fast = _sorted_rows(sim.cosine_neardup_pairs(df, **kwargs))
+    cache.release_persisted()
+    old_cap = sim._PAIR_BCAST_CAP
+    sim._PAIR_BCAST_CAP = 0
+    try:
+        slow = _sorted_rows(sim.cosine_neardup_pairs(df, **kwargs))
+    finally:
+        sim._PAIR_BCAST_CAP = old_cap
+        cache.release_persisted()
+    assert fast, "degenerate test: no near-dup pairs produced"
+    assert fast == slow
+
+
+def test_lsh_topk_broadcast_scorer_matches_join_path(spark):
+    """lsh_bucket_topk re-rank: broadcast scorer vs join path, including
+    qdot ties broken by point id (duplicate vectors in the corpus)."""
+    from a5spark import cache
+    from a5spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    pts, _ = _rand_vec_df(spark, 150, 8, seed=7)
+    qs = pts.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    kwargs = dict(k=3, dim=8, n_bits=2, n_tables=4, bucket_cap=30, extra_bits=4)
+    fast = _sorted_rows(sim.lsh_bucket_topk(qs, pts, **kwargs))
+    cache.release_persisted()
+    old_cap = sim._PAIR_BCAST_CAP
+    sim._PAIR_BCAST_CAP = 0
+    try:
+        slow = _sorted_rows(sim.lsh_bucket_topk(qs, pts, **kwargs))
+    finally:
+        sim._PAIR_BCAST_CAP = old_cap
+        cache.release_persisted()
+    assert fast, "degenerate test: no top-k rows produced"
+    assert fast == slow
+
+
+def test_broadcast_pair_scorer_drops_missing_ids(spark):
+    """Pairs whose id is absent from the vector table must DROP (the inner-
+    join semantics of the path the scorer replaces — the crossmodal query
+    scores doc-id pairs against the embeddings table, where absence is
+    real), and surviving scores must equal exact numpy int64 dots."""
+    from a5spark import cache
+    from a5spark.operators import similarity as sim
+
+    df, vecs = _rand_vec_df(spark, 20, 8, seed=3)
+    q = sim._np_quantize(vecs, 127)
+    scorer = sim._broadcast_pair_scorer(
+        df, "vec_id", df, "vec_id", "id_a", "id_b", "embedding", 127
+    )
+    assert scorer is not None
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (999, 1), (4, 998)], ["id_a", "id_b"]
+    )
+    try:
+        out = {(r["id_a"], r["id_b"]): (r["qdot"], r["__na"], r["__nb"])
+               for r in scorer(pairs).collect()}
+    finally:
+        cache.release_persisted()
+    assert set(out) == {(0, 1), (2, 3)}
+    for a, b in out:
+        assert out[(a, b)] == (
+            int(q[a] @ q[b]), int(q[a] @ q[a]), int(q[b] @ q[b])
+        )
+
+
+def test_broadcast_pair_scorer_respects_cap(spark):
+    """Over-cap vector tables must return None (callers keep the join path
+    — the corpus-scale shape)."""
+    from a5spark.operators import similarity as sim
+
+    df, _ = _rand_vec_df(spark, 20, 8, seed=5)
+    assert sim._broadcast_pair_scorer(
+        df, "vec_id", df, "vec_id", "id_a", "id_b", "embedding", 127, cap=19
+    ) is None
+    assert sim._broadcast_pair_scorer(
+        df, "vec_id", df, "vec_id", "id_a", "id_b", "embedding", 127, cap=20
+    ) is not None
